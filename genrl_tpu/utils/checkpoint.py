@@ -1,0 +1,111 @@
+"""Snapshot / resume as pytree checkpoints (orbax).
+
+Rebuild of the reference snapshot plane (train.py:368-425). The reference
+pickles whole torch module objects; here a snapshot is the AgentState pytree
+plus counters, written with orbax. Same crash-recovery discipline: a
+double-buffered `last_snapshot` with `second_last_snapshot` fallback if the
+last write was torn, periodic `snapshot_{frame}` checkpoints, and partial
+reset on load (reset_world_model / reset_connector / reset_imag_behavior,
+train.py:141-157).
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+class SnapshotManager:
+    def __init__(self, root_dir: Path):
+        self.root = Path(root_dir)
+        self.root.mkdir(parents=True, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+
+    # ---- paths -----------------------------------------------------------
+    def _last(self) -> Path:
+        return self.root / "last_snapshot"
+
+    def _second_last(self) -> Path:
+        return self.root / "second_last_snapshot"
+
+    # ---- save ---------------------------------------------------------------
+    def save(self, state, counters: Dict[str, int], name: Optional[str] = None):
+        """Save a named snapshot (e.g. 'snapshot_50000') or rotate the
+        last/second_last pair when name is None (reference: train.py:388-398)."""
+        payload = {"state": _to_host(state), "counters": dict(counters)}
+        if name is not None:
+            path = self.root / name
+            if path.exists():
+                shutil.rmtree(path)
+            self._ckptr.save((path / "ckpt").absolute(), payload)
+            self._ckptr.wait_until_finished()
+            return path
+        tmp = self.root / "tmp_snapshot"
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        self._ckptr.save((tmp / "ckpt").absolute(), payload)
+        self._ckptr.wait_until_finished()
+        last, second = self._last(), self._second_last()
+        if last.exists():
+            if second.exists():
+                shutil.rmtree(second)
+            last.rename(second)
+        tmp.rename(last)
+        return last
+
+    # ---- load -----------------------------------------------------------------
+    def _restore(self, path: Path, template):
+        payload_template = {"state": _to_host(template), "counters": {"step": 0, "episode": 0}}
+        return self._ckptr.restore((path / "ckpt").absolute(), payload_template)
+
+    def load(self, template, path: Optional[Path] = None):
+        """Restore (state, counters). Tries `path`, else last, else
+        second_last (reference torn-write fallback, train.py:400-410)."""
+        candidates = [Path(path)] if path is not None else [self._last(), self._second_last()]
+        last_err = None
+        for cand in candidates:
+            if not cand.exists():
+                continue
+            try:
+                payload = self._restore(cand, template)
+                state = jax.tree_util.tree_map(
+                    lambda t, v: v, template, payload["state"]
+                )
+                return state, dict(payload["counters"])
+            except Exception as e:  # torn write — fall through
+                last_err = e
+                continue
+        if last_err is not None:
+            raise last_err
+        return None
+
+    def exists(self) -> bool:
+        return self._last().exists() or self._second_last().exists()
+
+
+def apply_resets(agent, loaded_state, key, reset_world_model=False,
+                 reset_connector=False, reset_imag_behavior=False):
+    """Partial re-initialization on load (reference: train.py:141-157):
+    swap in freshly-initialized module params + fresh optimizer state."""
+    fresh = None
+    need_fresh = reset_world_model or reset_connector or reset_imag_behavior
+    if need_fresh:
+        fresh = agent.init(key)
+    state = loaded_state
+    if reset_world_model:
+        state = state.replace(wm_params=fresh.wm_params, wm_opt=fresh.wm_opt)
+    if reset_connector and fresh.connector_params is not None:
+        state = state.replace(connector_params=fresh.connector_params,
+                              connector_opt=fresh.connector_opt)
+    if reset_imag_behavior and fresh.imag is not None:
+        state = state.replace(imag=fresh.imag)
+    return state

@@ -1,0 +1,94 @@
+"""train.py CLI smoke tests: WM+connector phase, snapshot resume, behavior
+phase from a prompt-embed file — all at tiny scale on the CPU mesh."""
+
+import numpy as np
+import pytest
+
+import train as train_cli
+from genrl_tpu.data import save_episode
+
+TINY = [
+    "rssm.hidden=32", "rssm.deter=32", "rssm.stoch=4", "rssm.discrete=4",
+    "encoder.cnn_depth=8", "encoder.cnn_kernels=(4,4)",
+    "decoder.cnn_depth=8", "decoder.cnn_kernels=(6,6)",
+    "reward_head.layers=2", "reward_head.units=32",
+    "discount_head.layers=2", "discount_head.units=32",
+    "actor.layers=2", "actor.units=32", "critic.layers=2", "critic.units=32",
+    "agent.connector_rssm.hidden=32", "agent.connector_rssm.deter=32",
+    "agent.connector_rssm.stoch=4", "agent.connector_rssm.discrete=4",
+    "batch_size=4", "batch_length=8", "imag_horizon=8", "precision=32",
+    "img_size=16", "+act_dim=4", "replay.minlen=8", "replay.maxlen=8",
+    "+viclip_emb_dim=32", "+n_frames=4",
+    "log_every_frames=2", "save_every_frames=2", "snapshot_every_frames=1000",
+]
+
+
+@pytest.fixture(scope="module")
+def replay_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("replay")
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        T = 32
+        emb = rng.normal(size=(T, 32)).astype(np.float32)
+        ep = {
+            "observation": rng.integers(0, 255, (T, 3, 16, 16), np.uint8),
+            "action": rng.normal(size=(T, 4)).astype(np.float32),
+            "reward": rng.normal(size=(T, 1)).astype(np.float32),
+            "discount": np.ones((T, 1), np.float32),
+            "is_first": np.zeros(T, bool),
+            "is_last": np.zeros(T, bool),
+            "is_terminal": np.zeros(T, bool),
+            "clip_video": emb / np.linalg.norm(emb, axis=-1, keepdims=True),
+        }
+        ep["is_first"][0] = True
+        ep["is_last"][-1] = True
+        save_episode(ep, d, i)
+    return d
+
+
+def run(args, workdir, replay_dir, n=3, extra=()):
+    argv = TINY + [
+        f"replay_load_dir={replay_dir}", f"workdir={workdir}",
+        f"num_train_frames={n}", *args, *extra,
+    ]
+    train_cli.main(argv)
+
+
+def test_wm_connector_phase_and_resume(tmp_path, replay_dir):
+    wd = tmp_path / "ws"
+    run(["train_world_model=True", "train_connector=True"], wd, replay_dir, n=3)
+    snap_root = wd / "stickman_walk" / "snapshots"
+    assert (snap_root / "last_snapshot").exists()
+    # resume: second run continues from step 3
+    run(["train_world_model=True", "train_connector=True"], wd, replay_dir, n=5)
+    train_csv = wd / "stickman_walk" / "train.csv"
+    content = train_csv.read_text()
+    assert "model_loss" in content
+
+
+def test_behavior_phase_from_prompt_embed(tmp_path, replay_dir):
+    wd = tmp_path / "ws2"
+    emb = np.random.default_rng(1).normal(size=(32,)).astype(np.float32)
+    p = tmp_path / "prompt.npy"
+    np.save(p, emb / np.linalg.norm(emb))
+    run(
+        ["train_world_model=True", "train_connector=True",
+         "agent.imag_reward_fn=video_text_reward", f"+prompt_embed_path={p}"],
+        wd, replay_dir, n=2,
+    )
+    content = (wd / "stickman_walk" / "train.csv").read_text()
+    assert "imag_actor_loss" in content
+
+
+def test_data_free_phase(tmp_path, replay_dir):
+    wd = tmp_path / "ws3"
+    emb = np.random.default_rng(1).normal(size=(32,)).astype(np.float32)
+    p = tmp_path / "prompt.npy"
+    np.save(p, emb / np.linalg.norm(emb))
+    run(
+        ["train_from_data=False", "agent.imag_reward_fn=video_text_reward",
+         f"+prompt_embed_path={p}"],
+        wd, replay_dir, n=2,
+    )
+    content = (wd / "stickman_walk" / "train.csv").read_text()
+    assert "imag_actor_loss" in content

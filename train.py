@@ -1,0 +1,249 @@
+"""Offline world-model / connector / behavior trainer CLI.
+
+Rebuild of the reference trainer (train.py:39-452) with its public override
+grammar, e.g.:
+
+    python train.py task=stickman_walk replay_load_dir=data/stickman_example \
+        train_world_model=True train_connector=True num_train_frames=500010
+    python train.py task=stickman_walk agent.imag_reward_fn=video_text_reward \
+        batch_size=32 batch_length=32 snapshot_load_dir=...
+
+Differences by design (TPU-native):
+  * One jitted train step per phase (WM+connector fused; behavior fused with
+    reward + imagination), pjit-sharded over a (data, model) mesh.
+  * The unconditional prompt target is computed once per behavior phase and
+    fed into the jit as an argument (the reference caches it on the agent,
+    tools/genrl_utils.py:289-321).
+  * Snapshots are orbax pytrees, not module pickles.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+class Workspace:
+    def __init__(self, cfg, work_dir=None):
+        import jax
+
+        from genrl_tpu.agents.assembly import make_agent
+        from genrl_tpu.data import ReplayBuffer
+        from genrl_tpu.parallel import batch_sharding, make_mesh, shard_params
+        from genrl_tpu.utils.checkpoint import SnapshotManager, apply_resets
+        from genrl_tpu.utils.logger import Logger
+        from genrl_tpu.utils.schedules import Timer, set_seed_everywhere
+
+        self.cfg = cfg
+        self.work_dir = Path(work_dir or cfg.get("workdir") or "exp_local") / str(cfg.task)
+        self.work_dir.mkdir(parents=True, exist_ok=True)
+        print(f"workspace: {self.work_dir}")
+        set_seed_everywhere(int(cfg.seed))
+        self.logger = Logger(self.work_dir, use_tb=cfg.use_tb, use_wandb=cfg.use_wandb)
+        self.timer = Timer()
+
+        # ---- replay ----------------------------------------------------------
+        self.replay = None
+        self.replay_iter = None
+        if cfg.get("train_from_data", True):
+            load_dir = cfg.get("replay_load_dir") or (self.work_dir / "buffer")
+            self.replay = ReplayBuffer(
+                directory=load_dir,
+                length=int(cfg.batch_length),
+                capacity=int(cfg.replay.capacity),
+                minlen=int(cfg.replay.minlen),
+                load_recursive=True,
+                seed=int(cfg.seed),
+            )
+            if len(self.replay) == 0:
+                raise SystemExit(f"no episodes found in {load_dir}")
+
+        # ---- mesh + agent -------------------------------------------------------
+        import math
+
+        mesh_cfg = dict(cfg.get("mesh", {"data": -1, "model": 1}))
+        if mesh_cfg.get("data", -1) == -1:
+            # the data axis must divide the batch; clamp to gcd(batch, devices)
+            n_avail = len(jax.devices()) // max(1, int(mesh_cfg.get("model", 1)))
+            mesh_cfg["data"] = math.gcd(int(cfg.batch_size), n_avail)
+        self.mesh = make_mesh(**mesh_cfg)
+        obs_space, act_dim = self._spaces()
+        self.agent = make_agent(cfg, obs_space, act_dim)
+
+        self.snap = SnapshotManager(self.work_dir / "snapshots")
+        key = jax.random.PRNGKey(int(cfg.seed))
+        self._key = key
+        self.global_step = 0
+        self.global_episode = 0
+
+        template = self.agent.init(jax.random.PRNGKey(int(cfg.seed)))
+        state = None
+        # resume from own workdir first (crash recovery), else load external
+        if self.snap.exists():
+            loaded = self.snap.load(template)
+            if loaded is not None:
+                state, counters = loaded
+                self.global_step = int(counters.get("step", 0))
+                self.global_episode = int(counters.get("episode", 0))
+                print(f"resumed from {self.snap.root} at step {self.global_step}")
+        elif cfg.get("snapshot_load_dir"):
+            from genrl_tpu.utils.checkpoint import SnapshotManager as SM
+
+            ext = SM(Path(cfg.snapshot_load_dir))
+            loaded = ext.load(template)
+            if loaded is None:
+                raise SystemExit(f"no snapshot found in {cfg.snapshot_load_dir}")
+            state, _ = loaded
+            state = apply_resets(
+                self.agent, state, jax.random.PRNGKey(int(cfg.seed) + 1),
+                reset_world_model=cfg.get("reset_world_model", False),
+                reset_connector=cfg.get("reset_connector", False),
+                reset_imag_behavior=cfg.get("reset_imag_behavior", False),
+            )
+            print(f"loaded snapshot from {cfg.snapshot_load_dir}")
+        self.state = shard_params(state if state is not None else template, self.mesh)
+        self.batch_sharding = batch_sharding(self.mesh)
+
+        if self.replay is not None:
+            self.replay_iter = self.replay.dataset(
+                int(cfg.batch_size), int(cfg.batch_length),
+                sharding=self.batch_sharding, prefetch=4, num_workers=2)
+
+    # ---- helpers -------------------------------------------------------------------
+    def _spaces(self):
+        cfg = self.cfg
+        if self.replay is not None and len(self.replay):
+            ep = next(iter(self.replay._episodes.values()))
+            img = ep["observation"].shape
+            if len(img) == 4 and img[1] in (1, 3):  # stored CHW
+                obs_shape = (img[2], img[3], img[1])
+            else:
+                obs_shape = tuple(img[1:])
+            act_dim = ep["action"].shape[-1]
+        else:
+            obs_shape = (int(cfg.img_size), int(cfg.img_size), 3)
+            act_dim = int(cfg.get("act_dim", 10))
+        return {"observation": obs_shape}, act_dim
+
+    def _next_key(self):
+        import jax
+
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def _prompt_embed(self):
+        """Text/video prompt embedding for the behavior target. Prefers an
+        explicit file (prompt_embed_path: .npy with [E]); else uses the
+        InternVideo2 JAX encoder on TASK2PROMPT[task]."""
+        cfg = self.cfg
+        path = cfg.get("prompt_embed_path")
+        if path:
+            emb = np.load(path).reshape(-1).astype(np.float32)
+            return emb / max(np.linalg.norm(emb), 1e-8)
+        from genrl_tpu.rewards import TASK2PROMPT, TASK2VIDEO
+
+        reward_fn = cfg.agent.get("imag_reward_fn")
+        from genrl_tpu.models.internvideo2 import get_global_instance
+
+        clip = get_global_instance(cfg.get("viclip_model", "internvideo2"))
+        if reward_fn == "video_video_reward":
+            video_path = cfg.get("task_video") or TASK2VIDEO[cfg.task]
+            return np.asarray(clip.get_vid_features_from_file(video_path)).reshape(-1)
+        prompt = cfg.get("task_prompt") or TASK2PROMPT[cfg.task]
+        return np.asarray(clip.get_txt_feat(prompt)).reshape(-1)
+
+    # ---- train ------------------------------------------------------------------------
+    def train(self):
+        import jax
+
+        from genrl_tpu.utils.schedules import Every, Until
+
+        cfg = self.cfg
+        train_until = Until(int(cfg.num_train_frames), 1)
+        should_log = Every(int(cfg.log_every_frames), 1)
+        should_save = Every(int(cfg.save_every_frames), 1)
+        snapshot_every = int(cfg.snapshot_every_frames)
+
+        use_behavior = cfg.agent.get("imag_reward_fn") is not None
+        target = None
+        if use_behavior:
+            B = int(cfg.batch_size) * int(cfg.batch_length)
+            embed = self._prompt_embed()
+            args = dict(cfg.agent.imag_reward_args)
+            target = self.agent.make_unconditional_target(
+                self.state, jax.numpy.asarray(embed), batch=B, key=self._next_key(),
+                sample_for_target=bool(args.get("sample_for_target", False)),
+                skip_first_target=bool(args.get("skip_first_target", True)),
+            )
+
+        twm = bool(cfg.get("train_world_model", False))
+        tconn = bool(cfg.get("train_connector", False))
+        if not (twm or tconn or use_behavior):
+            raise SystemExit(
+                "nothing to train: set train_world_model/train_connector or agent.imag_reward_fn")
+        step_fn = None
+        if cfg.get("train_from_data", True):
+            from genrl_tpu.agents.assembly import GenRLAgent
+
+            if isinstance(self.agent, GenRLAgent):
+                step_fn = jax.jit(lambda s, d, t, k: self.agent.train_step(
+                    s, d, k, target_seq=t, train_world_model=twm, train_connector=tconn))
+            else:
+                step_fn = jax.jit(lambda s, d, t, k: self.agent.train_step(s, d, k))
+        data_free_fn = None
+        if not cfg.get("train_from_data", True):
+            data_free_fn = jax.jit(
+                lambda s, t, k: self.agent.train_step_data_free(
+                    s, k, t, int(cfg.batch_size), int(cfg.batch_length),
+                    cfg.get("start_from_video", "mix"),
+                    bool(cfg.get("mix_random_actions", True)),
+                    int(cfg.get("imag_warmup_steps", 5))))
+
+        metrics = {}
+        while train_until(self.global_step):
+            if cfg.get("train_from_data", True):
+                batch = next(self.replay_iter)
+                self.state, metrics = step_fn(self.state, batch, target, self._next_key())
+            else:
+                self.state, metrics = data_free_fn(self.state, target, self._next_key())
+
+            self.global_step += 1
+            if self.global_step > 0 and should_log(self.global_step):
+                host = {k: float(np.asarray(v)) for k, v in metrics.items()}
+                if self.replay is not None:
+                    host.update({k: float(v) for k, v in self.replay.stats.items()})
+                self.logger.log_metrics(host, self.global_step, ty="train")
+                elapsed, total = self.timer.reset()
+                with self.logger.log_and_dump_ctx(self.global_step, ty="train") as log:
+                    log("fps", int(cfg.log_every_frames) / max(elapsed, 1e-9))
+                    log("step", self.global_step)
+                    log("total_time", total)
+            if should_save(self.global_step):
+                self.save_last_model()
+            if self.global_step == 1000 or (self.global_step % snapshot_every == 0):
+                self.snap.save(
+                    self.state,
+                    {"step": self.global_step, "episode": self.global_episode},
+                    name=f"snapshot_{self.global_step}")
+        self.save_last_model()
+        return metrics
+
+    def save_last_model(self):
+        self.snap.save(self.state, {"step": self.global_step, "episode": self.global_episode})
+
+
+def main(argv=None):
+    from genrl_tpu.configs import PRESETS, TRAIN_BASE
+    from genrl_tpu.utils.config import compose
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    cfg = compose(PRESETS, TRAIN_BASE, argv)
+    ws = Workspace(cfg)
+    ws.train()
+
+
+if __name__ == "__main__":
+    main()
