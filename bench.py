@@ -25,7 +25,7 @@ import numpy as np
 REFERENCE_GRAD_STEPS_PER_SEC = 13.0  # documented estimate, see module docstring
 BATCH, LENGTH = 16, 16
 WARMUP_STEPS = 3
-MEASURE_STEPS = 20
+MEASURE_STEPS = 50
 
 
 def main():
@@ -33,8 +33,8 @@ def main():
 
     from genrl_tpu.agents.assembly import GenRLAgent
     from genrl_tpu.configs import TRAIN_BASE
-    from genrl_tpu.data import ReplayBuffer
-    from genrl_tpu.parallel import make_mesh, batch_sharding, shard_params
+    from genrl_tpu.data.device_replay import DeviceReplay, sample_windows
+    from genrl_tpu.parallel import make_mesh, batch_sharding, replicated, shard_params
     from genrl_tpu.utils.config import Config
 
     cfg = Config.from_dict(TRAIN_BASE)
@@ -42,33 +42,37 @@ def main():
     cfg["batch_size"] = BATCH
     cfg["batch_length"] = LENGTH
 
-    buf = ReplayBuffer(directory="/root/reference/data/stickman_example",
-                       length=LENGTH, seed=0)
-    if len(buf) == 0:
-        raise SystemExit("fixture episodes not found")
+    mesh = make_mesh(data=-1, model=1)
+    n_data = mesh.shape["data"]
+    # device-resident replay: episodes uploaded to HBM once, window sampling
+    # fused into the train step (zero steady-state host traffic)
+    replay = DeviceReplay("/root/reference/data/stickman_example", LENGTH,
+                          sharding=replicated(mesh))
+    out_sharding = batch_sharding(mesh) if n_data > 1 else None
 
     act_dim = 10
     agent = GenRLAgent(cfg, {"observation": (64, 64, 3)}, act_dim)
     from __graft_entry__ import init_on_host
 
     state = init_on_host(agent, jax.random.PRNGKey(0))
-
-    mesh = make_mesh(data=-1, model=1)
     state = shard_params(state, mesh)
-    sharding = batch_sharding(mesh)
-    it = buf.dataset(BATCH, LENGTH, sharding=sharding, prefetch=4, num_workers=2)
 
-    step = jax.jit(lambda s, d, k: agent.train_step(
-        s, d, k, target_seq=None, train_world_model=True, train_connector=True))
+    def fused_step(s, arrays, ep_len, k):
+        k_sample, k_train = jax.random.split(k)
+        batch = sample_windows(arrays, ep_len, k_sample, BATCH, LENGTH, out_sharding)
+        return agent.train_step(s, batch, k_train, target_seq=None,
+                                train_world_model=True, train_connector=True)
+
+    step = jax.jit(fused_step)
 
     keys = jax.random.split(jax.random.PRNGKey(1), WARMUP_STEPS + MEASURE_STEPS)
     for i in range(WARMUP_STEPS):
-        state, metrics = step(state, next(it), keys[i])
+        state, metrics = step(state, replay.arrays, replay.ep_len, keys[i])
     jax.block_until_ready(state)
 
     t0 = time.perf_counter()
     for i in range(MEASURE_STEPS):
-        state, metrics = step(state, next(it), keys[WARMUP_STEPS + i])
+        state, metrics = step(state, replay.arrays, replay.ep_len, keys[WARMUP_STEPS + i])
     jax.block_until_ready(state)
     dt = time.perf_counter() - t0
 

@@ -183,24 +183,41 @@ class VideoSSM(RSSM):
         else:
             prev_cell_vals = prev_cell_in
 
-        keys = jax.random.split(key_roll, T)
+        if self.fused and self.ensemble == 1 and self.cell_input == "stoch":
+            # teacher-forced rollout with fully-known inputs: hoist the input
+            # projections into one [B*T] matmul, scan only the deter carry
+            prev_stoch = prev_cell_vals
+            if self.token_dropout > 0:
+                keep = (jax.random.uniform(key_drop, (B, T)) > self.token_dropout).astype(jnp.float32)
+                prev_stoch = prev_stoch * keep.reshape((B, T) + (1,) * (prev_stoch.ndim - 2))
+            prev_in = prev_stoch.reshape(B, T, -1) if self.discrete else prev_stoch
+            inp = self.img_in(jnp.concatenate(
+                [prev_in.astype(self.dtype), embed_actions.astype(self.dtype)], -1))
+            x_proj = self.cell.project_input(inp)
+            deters = self._fused_deter_rollout(swap_bt(x_proj), None, init["deter"])
+            deter = swap_bt(deters)
+            prior_stats = self._suff_stats_ensemble(deter, None)
+            prior_dist = self.get_dist(prior_stats)
+            prior = {"stoch": prior_dist.sample(key_roll), "deter": deter, **prior_stats}
+        else:
+            keys = jax.random.split(key_roll, T)
 
-        def step(mod, carry, x):
-            a, prev_cell, k, drop_key = x
-            prev_state = dict(carry)
-            prev_state[mod.cell_input] = prev_cell
-            if mod.token_dropout > 0:
-                keep = (jax.random.uniform(drop_key, (B,)) > mod.token_dropout).astype(jnp.float32)
-                prev_state["stoch"] = prev_state["stoch"] * keep.reshape((B,) + (1,) * (prev_state["stoch"].ndim - 1))
-            prior = mod.img_step(prev_state, a, k)
-            return prior, prior
+            def step(mod, carry, x):
+                a, prev_cell, k, drop_key = x
+                prev_state = dict(carry)
+                prev_state[mod.cell_input] = prev_cell
+                if mod.token_dropout > 0:
+                    keep = (jax.random.uniform(drop_key, (B,)) > mod.token_dropout).astype(jnp.float32)
+                    prev_state["stoch"] = prev_state["stoch"] * keep.reshape((B,) + (1,) * (prev_state["stoch"].ndim - 1))
+                prior = mod.img_step(prev_state, a, k)
+                return prior, prior
 
-        scan = nn.scan(step, variable_broadcast="params", split_rngs={"params": False}, in_axes=0, out_axes=0)
-        drop_keys = jax.random.split(key_drop, T)
-        _, priors = scan(
-            self, init, (swap_bt(embed_actions), swap_bt(prev_cell_vals), keys, drop_keys)
-        )
-        prior = {k: swap_bt(v) for k, v in priors.items()}
+            scan = nn.scan(step, variable_broadcast="params", split_rngs={"params": False}, in_axes=0, out_axes=0)
+            drop_keys = jax.random.split(key_drop, T)
+            _, priors = scan(
+                self, init, (swap_bt(embed_actions), swap_bt(prev_cell_vals), keys, drop_keys)
+            )
+            prior = {k: swap_bt(v) for k, v in priors.items()}
 
         kl_cfg = dict(self.connector_kl or dict(free=0.0, forward=True, balance=0.8, free_avg=False))
         kl_loss, kl_value = self.kl_loss(wm_post, prior, **kl_cfg)

@@ -81,10 +81,16 @@ class NormedLinear(nn.Module):
 
 class GRUCell(nn.Module):
     """Fused-gate GRU with layernormed gate pre-activations and update bias -1
-    (reference: GRUCell, agent/dreamer_utils.py:750-785). The single
-    Linear(inp+size -> 3*size) is the RSSM's hot matmul; the XLA path here is
-    the reference implementation that the Pallas fused kernel
-    (ops/pallas/gru.py) is verified against.
+    (reference: GRUCell, agent/dreamer_utils.py:750-785).
+
+    The reference computes Linear(concat(inputs, deter) -> 3*size) per step.
+    Here the weight is split into an input part (`wx`) and a recurrent part
+    (`wd`) — mathematically identical (concat @ W == x @ W_top + d @ W_bot) —
+    so sequence rollouts with *known* inputs (posterior observe with
+    single_obs_posterior, the connector's teacher-forced update) can hoist
+    `project_input` over the whole [B, T] batch into ONE large MXU matmul and
+    keep only the deter-dependent half inside the lax.scan (the cuDNN-style
+    RNN pre-projection trick, TPU edition).
     """
 
     size: int
@@ -93,23 +99,31 @@ class GRUCell(nn.Module):
     update_bias: float = -1.0
     dtype: Dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, inputs, deter):
-        x = jnp.concatenate([inputs, deter.astype(inputs.dtype)], -1)
-        parts = nn.Dense(
-            3 * self.size,
-            use_bias=not self.norm,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-        )(x)
+    def setup(self):
+        self.wx = nn.Dense(3 * self.size, use_bias=False, dtype=self.dtype,
+                           param_dtype=jnp.float32, name="wx")
+        self.wd = nn.Dense(3 * self.size, use_bias=not self.norm, dtype=self.dtype,
+                           param_dtype=jnp.float32, name="wd")
         if self.norm:
-            parts = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)(parts)
+            self.ln = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="ln")
+
+    def project_input(self, inputs):
+        """Input half of the gate pre-activations; batchable over [B, T]."""
+        return self.wx(inputs.astype(self.dtype))
+
+    def step(self, x_proj, deter):
+        """One recurrence step from a precomputed input projection."""
+        parts = x_proj + self.wd(deter.astype(self.dtype))
+        if self.norm:
+            parts = self.ln(parts)
         reset, cand, update = jnp.split(parts, 3, -1)
         reset = jax.nn.sigmoid(reset)
         cand = get_act(self.act)(reset * cand)
         update = jax.nn.sigmoid(update + self.update_bias)
-        out = update * cand + (1 - update) * deter.astype(cand.dtype)
-        return out
+        return update * cand + (1 - update) * deter.astype(cand.dtype)
+
+    def __call__(self, inputs, deter):
+        return self.step(self.project_input(inputs), deter)
 
 
 class DistHead(nn.Module):

@@ -65,6 +65,7 @@ class RSSM(nn.Module):
     cell_input: str = "stoch"
     unif_mix: float = 0.99
     has_posterior: bool = True
+    fused: bool = True  # hoist batchable matmuls out of scans when possible
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -225,7 +226,14 @@ class RSSM(nn.Module):
         state: Optional[State] = None,
         should_sample: bool = True,
     ) -> Tuple[State, State]:
-        """Posterior rollout over a (B, T) batch -> (post, prior) with (B, T) leading."""
+        """Posterior rollout over a (B, T) batch -> (post, prior) with (B, T) leading.
+
+        With single_obs_posterior (the GenRL preset) the posterior depends
+        only on the embedding, so everything except the deter recurrence is
+        hoisted out of the scan into batched [B*T] matmuls (`_observe_fused`);
+        otherwise the general per-step scan runs."""
+        if self.fused and self.single_obs_posterior and self.ensemble == 1 and self.cell_input == "stoch":
+            return self._observe_fused(embed, action, is_first, key, state, should_sample)
         B, T = action.shape[:2]
         if state is None:
             state = self.initial(B)
@@ -241,6 +249,70 @@ class RSSM(nn.Module):
         _, (post, prior) = scan(self, state, xs)
         post = {k: swap_bt(v) for k, v in post.items()}
         prior = {k: swap_bt(v) for k, v in prior.items()}
+        return post, prior
+
+    def _fused_deter_rollout(self, x_proj: jax.Array, reset_mask: Optional[jax.Array],
+                             deter0: jax.Array) -> jax.Array:
+        """Minimal sequential core: deter[t] = GRU_step(x_proj[t], deter[t-1]).
+        x_proj: time-major [T, B, 3*deter] precomputed input projections;
+        reset_mask: [T, B, 1] multiplied into the carry (is_first resets).
+        Returns time-major deter sequence [T, B, deter]."""
+
+        def step(mod, deter, x):
+            xp, m = x
+            if m is not None:
+                deter = deter * m
+            deter = mod.cell.step(xp, deter).astype(jnp.float32)
+            return deter, deter
+
+        scan = nn.scan(step, variable_broadcast="params", split_rngs={"params": False},
+                       in_axes=0, out_axes=0)
+        if reset_mask is None:
+            reset_mask = jnp.ones(x_proj.shape[:2] + (1,), jnp.float32)
+        _, deters = scan(self, deter0.astype(jnp.float32), (x_proj, reset_mask))
+        return deters
+
+    def _observe_fused(self, embed, action, is_first, key, state=None, should_sample=True):
+        """Batched-matmul observe for single_obs_posterior models: posterior
+        stats/samples, GRU input projections and prior stats each run as ONE
+        [B*T]-batched MXU matmul; the lax.scan carries only deter."""
+        B, T = action.shape[:2]
+        if state is None:
+            state = self.initial(B)
+        k_post, k_prior = jax.random.split(key)
+
+        # posterior from embed alone (reference: get_post_stoch with
+        # single_obs_posterior, dreamer_utils.py:442-457)
+        x = self.obs_out(embed.astype(self.dtype))
+        post_stats = self._suff_stats(self.obs_dist(x))
+        post_dist = self.get_dist(post_stats)
+        post_stoch = post_dist.sample(k_post) if should_sample else post_dist.mode()
+
+        # previous-step latents with is_first masking
+        mask = 1.0 - is_first.astype(jnp.float32)  # [B, T]
+        prev_stoch = jnp.concatenate([state["stoch"][:, None], post_stoch[:, :-1]], 1)
+        prev_stoch = prev_stoch * mask.reshape(mask.shape + (1,) * (prev_stoch.ndim - 2))
+        prev_action = action * mask[..., None].astype(action.dtype)
+        if self.discrete:
+            prev_in = prev_stoch.reshape(B, T, self.stoch * self.discrete)
+        else:
+            prev_in = prev_stoch
+
+        # hoisted input projections: [B, T, hidden] -> [B, T, 3*deter]
+        inp = self.img_in(jnp.concatenate(
+            [prev_in.astype(self.dtype), prev_action.astype(self.dtype)], -1))
+        x_proj = self.cell.project_input(inp)
+
+        deters = self._fused_deter_rollout(
+            swap_bt(x_proj), swap_bt(mask)[..., None], state["deter"])
+        deter = swap_bt(deters)  # [B, T, deter]
+
+        prior_stats = self._suff_stats_ensemble(deter, None)
+        prior_dist = self.get_dist(prior_stats)
+        prior_stoch = prior_dist.sample(k_prior) if should_sample else prior_dist.mode()
+
+        post = {"stoch": post_stoch, "deter": deter, **post_stats}
+        prior = {"stoch": prior_stoch, "deter": deter, **prior_stats}
         return post, prior
 
     def imagine(self, action: jax.Array, key: jax.Array, state: Optional[State] = None, sample: bool = True) -> State:
