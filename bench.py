@@ -68,12 +68,13 @@ def main():
     keys = jax.random.split(jax.random.PRNGKey(1), WARMUP_STEPS + MEASURE_STEPS)
     for i in range(WARMUP_STEPS):
         state, metrics = step(state, replay.arrays, replay.ep_len, keys[i])
-    jax.block_until_ready(state)
+    float(np.asarray(metrics["model_loss"]))  # full sync (block_until_ready
+    # does not reliably synchronize through a remote-TPU tunnel)
 
     t0 = time.perf_counter()
     for i in range(MEASURE_STEPS):
         state, metrics = step(state, replay.arrays, replay.ep_len, keys[WARMUP_STEPS + i])
-    jax.block_until_ready(state)
+    float(np.asarray(metrics["model_loss"]))  # forces completion of the chain
     dt = time.perf_counter() - t0
 
     steps_per_sec = MEASURE_STEPS / dt
