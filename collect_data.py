@@ -1,0 +1,178 @@
+"""Online data collector CLI (Plan2Explore / Dreamer).
+
+Rebuild of the reference collector (collect_data.py:41-326): an
+env-interaction loop with a random seed phase, train-every-N-actions agent
+updates, episode logging and ViCLIP accumulate-flush at episode end.
+Usage mirrors the reference:
+
+    python collect_data.py agent=plan2explore task=stickman_walk \
+        num_train_frames=2000010
+
+TPU-native: acting runs through the jitted policy_step; training steps are
+one jitted program on the device mesh while env stepping stays host-side
+(MuJoCo C physics off the TPU critical path).
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+class Workspace:
+    def __init__(self, cfg, work_dir=None):
+        import jax
+
+        from genrl_tpu import envs
+        from genrl_tpu.agents.assembly import make_agent
+        from genrl_tpu.data import ReplayBuffer
+        from genrl_tpu.parallel import make_mesh, shard_params
+        from genrl_tpu.utils.checkpoint import SnapshotManager
+        from genrl_tpu.utils.logger import Logger
+        from genrl_tpu.utils.schedules import Timer, set_seed_everywhere
+
+        self.cfg = cfg
+        self.work_dir = Path(work_dir or cfg.get("workdir") or "exp_local_collect") / str(cfg.task)
+        self.work_dir.mkdir(parents=True, exist_ok=True)
+        print(f"workspace: {self.work_dir}")
+        set_seed_everywhere(int(cfg.seed))
+        self.logger = Logger(self.work_dir, use_tb=cfg.use_tb, use_wandb=cfg.use_wandb)
+        self.timer = Timer()
+
+        self.env = envs.make(
+            cfg.task, cfg.obs_type, int(cfg.action_repeat), int(cfg.seed),
+            img_size=int(cfg.img_size), viclip_encode=bool(cfg.viclip_encode),
+            clip_hd_rendering=bool(cfg.clip_hd_rendering))
+        obs_space = {"observation": tuple(np.asarray(
+            self.env.obs_space["observation"].shape))}
+        # stored CHW -> model HWC
+        if len(obs_space["observation"]) == 3:
+            c, h, w = obs_space["observation"]
+            obs_space["observation"] = (h, w, c)
+        act_dim = int(np.prod(self.env.act_space["action"].shape))
+
+        self.replay = ReplayBuffer(
+            directory=self.work_dir / "buffer",
+            length=int(cfg.batch_length),
+            capacity=int(cfg.replay.capacity),
+            minlen=int(cfg.replay.minlen),
+            seed=int(cfg.seed),
+        )
+
+        self.mesh = make_mesh(**dict(cfg.get("mesh", {"data": 1, "model": 1}),
+                                     data=1))
+        self.agent = make_agent(cfg, obs_space, act_dim)
+        self.state = shard_params(self.agent.init(
+            jax.random.PRNGKey(int(cfg.seed))), self.mesh)
+        self.snap = SnapshotManager(self.work_dir / "snapshots")
+        self._key = jax.random.PRNGKey(int(cfg.seed) + 7)
+        self.global_step = 0
+        self.global_episode = 0
+
+        self._jit_policy = jax.jit(self.agent.policy_step,
+                                   static_argnames=("eval_mode",))
+        self._jit_train = jax.jit(self.agent.train_step)
+
+    def _next_key(self):
+        import jax
+
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def _obs_to_model(self, obs):
+        """CHW uint8 -> [1, H, W, C] device-ready policy obs."""
+        img = obs["observation"]
+        if img.ndim == 3 and img.shape[0] in (1, 3):
+            img = np.transpose(img, (1, 2, 0))
+        return {
+            "observation": img[None],
+            "is_first": np.asarray([obs["is_first"]]),
+            "is_terminal": np.asarray([obs["is_terminal"]]),
+            "reward": np.asarray([[np.float32(obs["reward"] or 0.0)]]),
+        }
+
+    def train(self):
+        from genrl_tpu.utils.schedules import Every, Until
+
+        cfg = self.cfg
+        ar = int(cfg.action_repeat)
+        train_until = Until(int(cfg.num_train_frames), ar)
+        seed_until = Until(int(cfg.num_seed_frames), ar)
+        should_log = Every(int(cfg.log_every_frames), ar)
+        should_save = Every(int(cfg.save_every_frames), ar)
+        train_every = int(cfg.get("train_every_actions", 10))
+        only_random = bool(cfg.get("only_random_actions", False))
+
+        ts, obs = self.env.reset()
+        carry = self.agent.init_policy_carry(1)
+        episode_reward, episode_len = 0.0, 0
+        metrics = {}
+        while train_until(self.global_step):
+            if obs["is_last"]:
+                # viclip accumulate flush (reference: collect_data.py:240-247)
+                if hasattr(self.env, "process_accumulate"):
+                    embeds, key = self.env.process_accumulate()
+                    if embeds:
+                        ep = self.replay._ongoing_eps[0]
+                        n = len(embeds)
+                        pad = [np.zeros_like(embeds[0])] * (len(ep["is_first"]) - n)
+                        ep[key] = pad + embeds
+                self.replay.add(dict(obs, is_last=True))
+                self.global_episode += 1
+                self.logger.log("train/episode_reward", episode_reward, self.global_step)
+                self.logger.log("train/episode_length", episode_len * ar, self.global_step)
+                ts, obs = self.env.reset()
+                carry = self.agent.init_policy_carry(1)
+                episode_reward, episode_len = 0.0, 0
+            self.replay.add(obs)
+
+            if seed_until(self.global_step) or only_random:
+                action = self.env.act_space["action"].sample()
+            else:
+                action, carry = self._jit_policy(
+                    self.state, self._obs_to_model(obs), carry, self._next_key())
+                action = np.asarray(action[0])
+
+            if (not seed_until(self.global_step)
+                    and self.global_step % train_every == 0
+                    and len(self.replay)):
+                batch = self.replay.sample_batch(int(cfg.batch_size),
+                                                 int(cfg.batch_length))
+                self.state, metrics = self._jit_train(self.state, batch,
+                                                      self._next_key())
+
+            ts, obs = self.env.step(action)
+            episode_reward += obs["reward"]
+            episode_len += 1
+            self.global_step += 1
+
+            if self.global_step > 0 and should_log(self.global_step):
+                host = {k: float(np.asarray(v)) for k, v in metrics.items()}
+                host.update({k: float(v) for k, v in self.replay.stats.items()})
+                self.logger.log_metrics(host, self.global_step, ty="train")
+                elapsed, total = self.timer.reset()
+                with self.logger.log_and_dump_ctx(self.global_step, "train") as log:
+                    log("fps", int(cfg.log_every_frames) / ar / max(elapsed, 1e-9))
+                    log("step", self.global_step)
+                    log("episode", self.global_episode)
+                    log("total_time", total)
+            if should_save(self.global_step):
+                self.snap.save(self.state, {"step": self.global_step,
+                                            "episode": self.global_episode})
+        self.snap.save(self.state, {"step": self.global_step,
+                                    "episode": self.global_episode})
+
+
+def main(argv=None):
+    from genrl_tpu.configs import COLLECT_BASE, PRESETS
+    from genrl_tpu.utils.config import compose
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    cfg = compose(PRESETS, COLLECT_BASE, argv)
+    Workspace(cfg).train()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,80 @@
+"""collect_data.py and process_dataset.py CLI smoke tests (tiny scale, CPU)."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+os.environ.setdefault("MUJOCO_GL", "egl")
+
+TINY = [
+    "rssm.hidden=32", "rssm.deter=32", "rssm.stoch=4", "rssm.discrete=4",
+    "encoder.cnn_depth=8", "encoder.cnn_kernels=(4,4)",
+    "decoder.cnn_depth=8", "decoder.cnn_kernels=(6,6)",
+    "reward_head.layers=2", "reward_head.units=32",
+    "discount_head.layers=2", "discount_head.units=32",
+    "actor.layers=2", "actor.units=32", "critic.layers=2", "critic.units=32",
+    "agent.disag_units=32", "agent.disag_layers=2",
+    "batch_size=4", "batch_length=8", "imag_horizon=6", "precision=32",
+    "img_size=16", "replay.minlen=8", "replay.maxlen=8",
+    "log_every_frames=50", "save_every_frames=1000000",
+    "num_seed_frames=40", "train_every_actions=20",
+]
+
+
+def test_collect_data_plan2explore(tmp_path):
+    import collect_data as cli
+
+    cli.main(TINY + [
+        "task=walker_walk", "num_train_frames=120", "action_repeat=2",
+        f"workdir={tmp_path}",
+    ])
+    buffers = list((tmp_path / "walker_walk" / "buffer").glob("*.npz"))
+    # no full episode completes in 60 env steps (walker ep = 500), but the
+    # CSV + snapshot must exist
+    assert (tmp_path / "walker_walk" / "train.csv").exists()
+    assert (tmp_path / "walker_walk" / "snapshots" / "last_snapshot").exists()
+
+
+def test_process_dataset_roundtrip(tmp_path, fixture_episode_dir):
+    import process_dataset as cli
+
+    from genrl_tpu.models import internvideo2 as iv2
+    from genrl_tpu.models.clip_wrapper import ViCLIP
+
+    # tiny random-weight clip so the pass is fast; monkeypatch the singleton
+    tiny = ViCLIP(models_root=str(tmp_path), use_flash=False, n_frames=2,
+                  dtype=np.float32,
+                  vision_cfg=dict(img_size=28, patch_size=14, embed_dim=32,
+                                  depth=1, num_heads=4, mlp_ratio=2.0,
+                                  num_frames=2, clip_embed_dim=16,
+                                  attn_pool_num_heads=4,
+                                  sep_image_video_pos_embed=True),
+                  text_cfg=dict(vocab_size=100, hidden=32, layers=1, heads=4,
+                                intermediate=64))
+    iv2._GLOBAL["internvideo2:models"] = tiny
+
+    data_dir = tmp_path / "ds"
+    data_dir.mkdir()
+    src = sorted(os.listdir(fixture_episode_dir))[0]
+    # shrink the fixture episode to 12 steps for speed, drop clip keys
+    from genrl_tpu.data.replay import load_episode
+
+    ep = load_episode(os.path.join(fixture_episode_dir, src))
+    ep = {k: v[:12] for k, v in ep.items() if k not in ("clip_video", "clip_img")}
+    np.savez_compressed(data_dir / src, **ep)
+
+    cli.main([f"dataset_dir={data_dir}", "batch_windows=4"])
+    out = load_episode(data_dir / src)
+    assert out["clip_video"].shape == (12, 512)
+    # zero head-pad for the first n_frames-1 steps
+    assert np.allclose(out["clip_video"][0], 0)
+    assert np.linalg.norm(out["clip_video"][-1]) > 0.9
+    # skip_existing: second run skips
+    done, skipped = cli.Workspace(
+        __import__("genrl_tpu.utils.config", fromlist=["compose"]).compose(
+            __import__("genrl_tpu.configs", fromlist=["PRESETS"]).PRESETS,
+            __import__("genrl_tpu.configs", fromlist=["PROCESS_BASE"]).PROCESS_BASE,
+            [f"dataset_dir={data_dir}"])).process()
+    assert done == 0 and skipped == 1
