@@ -299,6 +299,7 @@ class GenRLAgent(DreamerAgent):
         self.connector_tx = make_optimizer(**dict(cfg.model_opt))
         imag_cfg = self.agent_cfg
         self.imag = ActorCriticModules(imag_cfg, act_dim, self.feat_size, name="imag")
+        self._finetune = False
 
     def _init_extra(self, state: AgentState, key: jax.Array) -> AgentState:
         k_conn, k_roll, k_imag = jax.random.split(key, 3)
@@ -405,7 +406,7 @@ class GenRLAgent(DreamerAgent):
             state, outs, metrics = self.wm_train_step(state, data, k1)
         else:
             outs, metrics = self.observe_data(state, data, k1)
-        if train_connector:
+        if train_connector and not self._finetune:
             state, mets = self.connector_train_step(state, data, outs["post"], k2)
             metrics.update(mets)
         if target_seq is not None:
@@ -485,10 +486,51 @@ class GenRLAgent(DreamerAgent):
         return state, metrics
 
     def finetune_mode(self):
-        """Swap acting behavior for the imag behavior (reference:
-        finetune_mode, agent/genrl.py:55-59): handled by the runtime reading
-        actions from `imag` ACState — see policy_step(use_imag=True)."""
-        return None
+        """Finetuning phase (reference: finetune_mode, agent/genrl.py:55-59):
+        the imag behavior becomes the acting behavior (policy_step defaults to
+        use_imag=True already), connector updates stop, and the reward head
+        joins the gradient heads."""
+        if "reward" not in tuple(self.wm.grad_heads):
+            self.wm = self.wm.clone(grad_heads=tuple(self.wm.grad_heads) + ("reward",))
+        self._finetune = True
+
+    # ---- reporting --------------------------------------------------------------
+    def report(self, state: AgentState, data, key, nvid: int = 8,
+               obs_key: str = "observation"):
+        """Open-loop WM prediction + connector video prediction panels
+        (reference: GenRLAgent.report, agent/genrl.py:64-106). data must
+        contain clip_video; returns dict of [B, T, H, W*3, C] videos."""
+        key, k_super, k1, k2 = jax.random.split(key, 4)
+        report = super().report(state, data, k_super)
+        n = self.n_frames
+        wm_apply = lambda *a, **kw: self.wm.apply(state.wm_params, *a, **kw)
+
+        data_p = wm_apply(dict(data), method="preprocess")
+        truth = data_p[obs_key][:nvid].astype(jnp.float32) + 0.5
+        embed = wm_apply(data_p, method="encode")
+        post, _ = wm_apply(embed[:nvid, :n], data_p["action"][:nvid, :n],
+                           data_p["is_first"][:nvid, :n], k1, method="observe_rssm")
+        recon = wm_apply(wm_apply(post, method="decoder_input"),
+                         method="decode")[obs_key].mean
+        dreamer_init = {k: v[:, -1] for k, v in post.items()}
+
+        B, T = data["clip_video"][:nvid].shape[:2]
+        video_embed = data["clip_video"][:nvid, 2 * n - 1 :: n]
+        chunks = video_embed.shape[1]
+        video_embed = jnp.repeat(video_embed[:, :, None], n, axis=2)
+        video_embed = video_embed.reshape(B, chunks * n, -1)
+        prior = self.connector.apply(state.connector_params, video_embed, k2,
+                                     dreamer_init=dreamer_init,
+                                     reset_every_n_frames=False,
+                                     method="video_imagine")
+        prior_recon = wm_apply(wm_apply(prior, method="decoder_input"),
+                               method="decode")[obs_key].mean
+        model = jnp.clip(jnp.concatenate(
+            [recon + 0.5, prior_recon + 0.5], 1), 0, 1)
+        Tm = model.shape[1]
+        error = (model - truth[:, :Tm] + 1) / 2
+        report["video_clip_pred"] = jnp.concatenate([truth[:, :Tm], model, error], 3)
+        return report
 
     def policy_step(self, state: AgentState, obs, carry, key, eval_mode: bool = False,
                     use_imag: bool = True):

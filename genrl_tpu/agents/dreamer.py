@@ -236,6 +236,16 @@ class WorldModel(nn.Module):
         seq["weight"] = jnp.cumprod(jnp.concatenate([jnp.ones_like(disc[:1]), disc[:-1]], 0), 0)
         return seq
 
+    # ---- thin apply-method surface (for jitted report/eval paths) -----------------
+    def encode(self, data):
+        return self.encoder(data)
+
+    def observe_rssm(self, embed, action, is_first, key, state=None):
+        return self.rssm.observe(embed, action, is_first, key, state)
+
+    def decode(self, x):
+        return self.heads_decoder(x)
+
     # ---- acting ------------------------------------------------------------------
     def encode_obs_step(
         self,

@@ -225,6 +225,11 @@ TRAIN_BASE = dict(
     start_from_video="mix",
     mix_random_actions=True,
     imag_warmup_steps=5,
+    task_prompt=None,
+    task_video=None,
+    prompt_embed_path=None,
+    models_root="models",
+    torch_snapshot_path=None,   # convert-on-load of reference .pt snapshots
     # TPU-native additions
     mesh=dict(data=-1, model=1),   # -1: use all remaining devices
     use_pallas=True,

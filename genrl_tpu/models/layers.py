@@ -105,7 +105,9 @@ class GRUCell(nn.Module):
         self.wd = nn.Dense(3 * self.size, use_bias=not self.norm, dtype=self.dtype,
                            param_dtype=jnp.float32, name="wd")
         if self.norm:
-            self.ln = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="ln")
+            # eps matches the reference torch LayerNorm default (1e-5)
+            self.ln = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                   param_dtype=jnp.float32, name="ln")
 
     def project_input(self, inputs):
         """Input half of the gate pre-activations; batchable over [B, T]."""

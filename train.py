@@ -89,6 +89,15 @@ class Workspace:
                 self.global_step = int(counters.get("step", 0))
                 self.global_episode = int(counters.get("episode", 0))
                 print(f"resumed from {self.snap.root} at step {self.global_step}")
+        elif cfg.get("torch_snapshot_path"):
+            # convert-on-load of reference PyTorch whole-module snapshots
+            # (e.g. published genrl_stickman_500k_2.pt)
+            from genrl_tpu.utils.torch_import import import_reference_snapshot
+
+            state, counters = import_reference_snapshot(
+                cfg.torch_snapshot_path, self.agent, template)
+            print(f"imported reference torch snapshot {cfg.torch_snapshot_path} "
+                  f"(step {counters['step']})")
         elif cfg.get("snapshot_load_dir"):
             from genrl_tpu.utils.checkpoint import SnapshotManager as SM
 
@@ -155,6 +164,73 @@ class Workspace:
         prompt = cfg.get("task_prompt") or TASK2PROMPT[cfg.task]
         return np.asarray(clip.get_txt_feat(prompt)).reshape(-1)
 
+    # ---- eval --------------------------------------------------------------------------
+    def _eval_env(self):
+        if getattr(self, "_eval_env_cache", None) is None:
+            from genrl_tpu import envs
+
+            self._eval_env_cache = envs.make(
+                self.cfg.task, self.cfg.get("obs_type", "pixels"),
+                int(self.cfg.action_repeat), int(self.cfg.seed) + 1000,
+                img_size=int(self.cfg.img_size))
+        return self._eval_env_cache
+
+    def eval(self, use_imag: bool = False):
+        """Env-rollout evaluation with the acting (or imag) policy
+        (reference: Workspace.eval / eval_imag_behavior, train.py:196-250)."""
+        import jax
+
+        from genrl_tpu.agents.assembly import GenRLAgent
+        from genrl_tpu.utils.task_scores import MAX, normalized_score
+
+        env = self._eval_env()
+        if isinstance(self.agent, GenRLAgent):
+            pol = jax.jit(lambda s, o, c, k: self.agent.policy_step(
+                s, o, c, k, eval_mode=True, use_imag=use_imag))
+        else:
+            pol = jax.jit(lambda s, o, c, k: self.agent.policy_step(
+                s, o, c, k, eval_mode=True))
+        rewards = []
+        steps = 0
+        for ep in range(int(self.cfg.num_eval_episodes)):
+            ts, obs = env.reset()
+            carry = self.agent.init_policy_carry(1)
+            total = 0.0
+            while not obs["is_last"]:
+                img = obs["observation"]
+                if img.ndim == 3 and img.shape[0] in (1, 3):
+                    img = np.transpose(img, (1, 2, 0))
+                model_obs = {
+                    "observation": img[None],
+                    "is_first": np.asarray([obs["is_first"]]),
+                    "is_terminal": np.asarray([obs["is_terminal"]]),
+                    "reward": np.asarray([[np.float32(obs["reward"] or 0.0)]]),
+                }
+                action, carry = pol(self.state, model_obs, carry, self._next_key())
+                ts, obs = env.step(np.asarray(action[0]))
+                total += obs["reward"]
+                steps += 1
+            rewards.append(total)
+        mean_reward = float(np.mean(rewards))
+        with self.logger.log_and_dump_ctx(self.global_step, ty="eval") as log:
+            log("episode_reward", mean_reward)
+            log("episode_length", steps * int(self.cfg.action_repeat)
+                / max(1, len(rewards)))
+            log("step", self.global_step)
+            if self.cfg.task in MAX:
+                log("normalized_score", normalized_score(self.cfg.task, mean_reward))
+        return mean_reward
+
+    def report_visuals(self):
+        """Open-loop + connector prediction panels (reference:
+        train.py:357-360 -> agent.report)."""
+        if self.replay_iter is None:
+            return
+        batch = next(self.replay_iter)
+        videos = self.agent.report(self.state, batch, self._next_key())
+        self.logger.log_visual(
+            {k: np.asarray(v) for k, v in videos.items()}, self.global_step)
+
     # ---- train ------------------------------------------------------------------------
     def train(self):
         import jax
@@ -202,8 +278,20 @@ class Workspace:
                     bool(cfg.get("mix_random_actions", True)),
                     int(cfg.get("imag_warmup_steps", 5))))
 
+        eval_every = Every(int(cfg.eval_every_frames), 1)
+        visual_every = Every(int(cfg.visual_every_frames), 1)
         metrics = {}
         while train_until(self.global_step):
+            if self.global_step > 0 and eval_every(self.global_step):
+                if cfg.get("eval_modality") == "task":
+                    self.eval(use_imag=False)
+                elif cfg.get("eval_modality") == "task_imag":
+                    self.eval(use_imag=True)
+            if self.global_step > 0 and visual_every(self.global_step):
+                try:
+                    self.report_visuals()
+                except Exception as e:
+                    print(f"report_visuals failed: {e}")
             if cfg.get("train_from_data", True):
                 batch = next(self.replay_iter)
                 self.state, metrics = step_fn(self.state, batch, target, self._next_key())
