@@ -57,6 +57,17 @@ def save_episode(episode: Dict[str, np.ndarray], directory: Path, idx: int) -> P
 
 
 def load_episode(path: Path) -> Dict[str, np.ndarray]:
+    """Load one episode. Uses the native C++ reader (thread-pooled inflate,
+    GIL released — native/npz_reader.cc) when built; numpy otherwise. The
+    win scales with host core count (TPU hosts have 100+; this is a no-op
+    on single-core machines)."""
+    try:
+        from genrl_tpu.data import native
+
+        if native.available():
+            return native.load_episode_native(path)
+    except Exception:
+        pass
     with Path(path).open("rb") as f:
         data = np.load(f)
         return {k: data[k] for k in data.files}

@@ -73,19 +73,32 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     vp = vp.reshape(bh, npad, dpad)
 
     grid = (bh, npad // QBLOCK)
-    interpret = jax.devices()[0].platform == "cpu"  # tests on the CPU mesh
-    out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale, valid_n=N),
-        out_shape=jax.ShapeDtypeStruct((bh, npad, dpad), q.dtype),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, QBLOCK, dpad), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, npad, dpad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, npad, dpad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, QBLOCK, dpad), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(qp, kp, vp)
+
+    def call(interpret):
+        def fn(qp, kp, vp):
+            return pl.pallas_call(
+                functools.partial(_attn_kernel, scale=scale, valid_n=N),
+                out_shape=jax.ShapeDtypeStruct((bh, npad, dpad), q.dtype),
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((1, QBLOCK, dpad), lambda b, i: (b, i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, npad, dpad), lambda b, i: (b, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, npad, dpad), lambda b, i: (b, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((1, QBLOCK, dpad), lambda b, i: (b, i, 0),
+                                       memory_space=pltpu.VMEM),
+                interpret=interpret,
+            )(qp, kp, vp)
+
+        return fn
+
+    # interpret mode on CPU (tests / host-side param init), compiled on TPU —
+    # selected by LOWERING platform so the same trace works under
+    # jax.default_device(cpu) within a TPU-backed process
+    out = jax.lax.platform_dependent(qp, kp, vp, cpu=call(True), default=call(False))
     return out.reshape(B, H, npad, dpad)[:, :, :N, :D]
 
 

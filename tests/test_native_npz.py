@@ -1,0 +1,78 @@
+"""Native C++ NPZ reader: bit-exact parity with numpy on reference episodes
+and on synthetic multi-dtype archives."""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+ROOT = Path(__file__).resolve().parents[1]
+
+
+@pytest.fixture(scope="module")
+def lib():
+    from genrl_tpu.data import native
+
+    if not native.available():
+        rc = subprocess.run(["sh", str(ROOT / "native" / "build.sh")],
+                            capture_output=True)
+        if rc.returncode != 0:
+            pytest.skip(f"native build failed: {rc.stderr.decode()[:200]}")
+        native._TRIED = False
+    assert native.available()
+    return native
+
+
+def test_reference_episode_parity(lib, fixture_episode_dir):
+    import glob
+
+    p = sorted(glob.glob(f"{fixture_episode_dir}/*.npz"))[0]
+    a = lib.load_episode_native(p)
+    with open(p, "rb") as f:
+        data = np.load(f)
+        b = {k: data[k] for k in data.files}
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_synthetic_dtypes(lib, tmp_path):
+    rng = np.random.default_rng(0)
+    arrays = {
+        "f32": rng.normal(size=(7, 5)).astype(np.float32),
+        "f64": rng.normal(size=(3,)).astype(np.float64),
+        "u8": rng.integers(0, 255, (4, 2, 2), dtype=np.uint8),
+        "i64": rng.integers(-5, 5, (6,), dtype=np.int64),
+        "b": rng.integers(0, 2, (9,)).astype(bool),
+        "scalar0d": np.float32(3.5).reshape(()),
+    }
+    p = tmp_path / "mix.npz"
+    np.savez_compressed(p, **arrays)
+    out = lib.load_episode_native(p)
+    assert set(out) == set(arrays)
+    for k in arrays:
+        np.testing.assert_array_equal(out[k], arrays[k])
+        assert out[k].dtype == arrays[k].dtype
+    # uncompressed flavor too
+    p2 = tmp_path / "mix_stored.npz"
+    np.savez(p2, **arrays)
+    out2 = lib.load_episode_native(p2)
+    for k in arrays:
+        np.testing.assert_array_equal(out2[k], arrays[k])
+
+
+def test_load_dir(lib, tmp_path):
+    for i in range(3):
+        np.savez_compressed(tmp_path / f"{i}.npz",
+                            x=np.full((4, 4), i, np.float32))
+    out = lib.load_dir_native(tmp_path, pattern="*.npz")
+    assert len(out) == 3
+    vals = sorted(float(v["x"][0, 0]) for v in out.values())
+    assert vals == [0.0, 1.0, 2.0]
+
+
+def test_error_on_missing(lib):
+    with pytest.raises(IOError):
+        lib.load_episode_native("/nonexistent/file.npz")
