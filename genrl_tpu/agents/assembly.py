@@ -395,6 +395,30 @@ class GenRLAgent(DreamerAgent):
         )
         return state.replace(imag=new_imag), mets
 
+    def report_text2video(self, state: AgentState, clip, task: str, key,
+                          duration: Optional[int] = None):
+        """Decode imagined videos for every domain predicate
+        (reference: report_text2video, tools/genrl_utils.py:202-238).
+        `clip` is a ViCLIP handle; returns {f'text2video/<prompt>': video}."""
+        from genrl_tpu.rewards.plugins import DOMAIN2PREDICATES
+
+        domain = task.split("_", 1)[0]
+        predicates = DOMAIN2PREDICATES.get(domain, [])
+        T = duration or self.n_frames * 2
+        out = {}
+        for prompt in predicates:
+            key, k = jax.random.split(key)
+            embed = jnp.asarray(clip.get_txt_feat(prompt)).reshape(1, 1, -1)
+            video_embed = jnp.broadcast_to(embed, (1, T, embed.shape[-1]))
+            prior = self.connector.apply(
+                state.connector_params, video_embed, k, sample=False,
+                reset_every_n_frames=False, denoise=True, method="video_imagine")
+            inp = self.wm.apply(state.wm_params, prior, method="decoder_input")
+            video = self.wm.apply(state.wm_params, inp, method="decode")[
+                "observation"].mean + 0.5
+            out[f"text2video/{prompt}"] = jnp.clip(video, 0, 1)
+        return out
+
     # ---- combined steps ----------------------------------------------------------------------
     def train_step(self, state: AgentState, data, key, target_seq=None,
                    train_world_model=True, train_connector=True):

@@ -29,6 +29,13 @@ VIT_1B = dict(
     mlp_ratio=48 / 11, num_frames=8, clip_embed_dim=768,
     sep_image_video_pos_embed=True,
 )
+# reference 6B factory (internvideo2.py:726-761); needs model-axis sharding
+# (models/internvideo2.py:iv2_param_shardings) on multi-chip meshes
+VIT_6B = dict(
+    img_size=224, patch_size=14, embed_dim=3200, depth=48, num_heads=25,
+    mlp_ratio=4.0, num_frames=8, clip_embed_dim=768,
+    sep_image_video_pos_embed=True,
+)
 BERT_LARGE = dict(vocab_size=30522, hidden=1024, layers=24, heads=16,
                   intermediate=4096)
 

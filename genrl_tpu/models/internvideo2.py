@@ -415,6 +415,39 @@ def convert_torch_checkpoint(state_dict: Dict[str, np.ndarray],
 
 
 # ---------------------------------------------------------------------------------
+# tensor-parallel sharding rules (for the 6B tower on multi-chip meshes)
+# ---------------------------------------------------------------------------------
+
+
+def iv2_param_shardings(params, mesh):
+    """Megatron-style model-axis PartitionSpecs for the ViT tower: qkv/fc1
+    column-parallel (output dim on 'model'), proj/fc2 row-parallel (input dim
+    on 'model'); everything else replicated. The activation all-reduce after
+    proj/fc2 is inserted by XLA. The 1B tower fits one chip; this is the
+    scale-out path the 6B variant needs (SURVEY.md §2.10 TP row)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def spec_for(path_parts, leaf):
+        path = "/".join(str(p) for p in path_parts)
+        if "kernel" in path:
+            if "attn/qkv" in path or "mlp/fc1" in path:
+                return P(None, "model")  # column parallel
+            if "attn/proj" in path or "mlp/fc2" in path:
+                return P("model", None)  # row parallel
+        if "bias" in path and ("attn/qkv" in path or "mlp/fc1" in path):
+            return P("model")
+        return P()
+
+    import jax
+
+    def to_sharding(path, leaf):
+        keys = [getattr(p, "key", getattr(p, "idx", "")) for p in path]
+        return NamedSharding(mesh, spec_for(keys, leaf))
+
+    return jax.tree_util.tree_map_with_path(to_sharding, params)
+
+
+# ---------------------------------------------------------------------------------
 # global instance (reference: ViCLIPGlobalInstance, tools/genrl_utils.py:155-199)
 # ---------------------------------------------------------------------------------
 

@@ -14,6 +14,13 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# transformers must not import tensorflow: the TF shared objects segfault in
+# a process that already loaded torch + jax (observed in-suite), and this
+# image is zero-egress so HF must stay offline
+os.environ["USE_TF"] = "0"
+os.environ["TRANSFORMERS_NO_ADVISORY_WARNINGS"] = "1"
+os.environ["HF_HUB_OFFLINE"] = "1"
+os.environ.setdefault("MUJOCO_GL", "egl")
 
 import jax
 

@@ -1,0 +1,78 @@
+"""Tensor-parallel sharding of the ViT tower on the CPU mesh +
+report_text2video panels with a tiny random-weight clip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def test_iv2_tensor_parallel_forward():
+    """Shard a small ViT over (data=2, model=4); forward must match the
+    replicated result (XLA inserts the TP collectives)."""
+    from genrl_tpu.models.internvideo2 import InternVideo2ViT, iv2_param_shardings
+    from genrl_tpu.parallel import make_mesh, replicated
+
+    mesh = make_mesh(data=2, model=4)
+    # head count divisible by model axis; dims lane-friendly
+    vit = InternVideo2ViT(img_size=28, patch_size=14, embed_dim=64, depth=2,
+                          num_heads=4, mlp_ratio=2.0, num_frames=2,
+                          clip_embed_dim=16, attn_pool_num_heads=4,
+                          sep_image_video_pos_embed=True, use_flash=False)
+    x = np.float32(np.random.default_rng(0).normal(size=(2, 2, 28, 28, 3)))
+    params = vit.init(jax.random.PRNGKey(0), jnp.asarray(x))
+
+    ref = np.asarray(vit.apply(params, jnp.asarray(x)))
+
+    shardings = iv2_param_shardings(params, mesh)
+    # sanity: qkv kernels sharded on model axis, pos tables replicated
+    qkv = shardings["params"]["blocks_0"]["attn"]["qkv"]["kernel"]
+    assert "model" in str(qkv.spec)
+    params_tp = jax.device_put(params, shardings)
+    out = jax.jit(vit.apply)(params_tp, jax.device_put(jnp.asarray(x),
+                                                       replicated(mesh)))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
+
+
+def test_report_text2video(tmp_path):
+    from genrl_tpu.agents.assembly import GenRLAgent
+    from genrl_tpu.configs import TRAIN_BASE
+    from genrl_tpu.models.clip_wrapper import ViCLIP
+    from genrl_tpu.utils.config import Config
+
+    cfg = Config.from_dict(TRAIN_BASE)
+    cfg.update_deep(dict(
+        rssm=dict(ensemble=1, hidden=32, deter=32, stoch=4, discrete=4,
+                  norm="layer", std_act="softplus", min_std=0.1,
+                  single_obs_posterior=True),
+        encoder=dict(cfg.encoder.to_dict(), cnn_depth=8, cnn_kernels=(4, 4)),
+        decoder=dict(cfg.decoder.to_dict(), cnn_depth=8, cnn_kernels=(6, 6)),
+        reward_head=dict(layers=2, units=32, norm="layer", dist="twohot"),
+        discount_head=dict(layers=2, units=32, norm="none", dist="binary"),
+        actor=dict(layers=2, units=32, norm="layer", dist="normal", min_std=0.1),
+        critic=dict(layers=2, units=32, norm="layer", dist="twohot"),
+        precision=32,
+    ))
+    cfg.update_deep({"agent": {"connector_rssm": dict(
+        ensemble=1, hidden=32, deter=32, stoch=4, discrete=4, norm="layer",
+        std_act="softplus", min_std=0.1, single_obs_posterior=False,
+        learn_initial=True)}})
+    agent = GenRLAgent(cfg, {"observation": (16, 16, 3)}, 4,
+                       viclip_emb_dim=512, n_frames=4)
+    state = agent.init(jax.random.PRNGKey(0))
+
+    clip = ViCLIP(models_root=str(tmp_path), use_flash=False, n_frames=2,
+                  dtype=jnp.float32,
+                  vision_cfg=dict(img_size=28, patch_size=14, embed_dim=32,
+                                  depth=1, num_heads=4, mlp_ratio=2.0,
+                                  num_frames=2, clip_embed_dim=16,
+                                  attn_pool_num_heads=4,
+                                  sep_image_video_pos_embed=True),
+                  text_cfg=dict(vocab_size=30522, hidden=32, layers=1, heads=4,
+                                intermediate=64))
+    videos = agent.report_text2video(state, clip, "stickman_walk",
+                                     jax.random.PRNGKey(1))
+    assert len(videos) == 12  # stickman predicates
+    v = next(iter(videos.values()))
+    assert v.shape == (1, 8, 16, 16, 3)
+    assert float(jnp.min(v)) >= 0 and float(jnp.max(v)) <= 1
