@@ -1,0 +1,102 @@
+"""Golden tests for the video_text_reward alignment semantics vs a direct
+transcription of the reference algorithm (one_hot + double-cumsum gather,
+tools/genrl_utils.py:325-366) executed in numpy."""
+
+import numpy as np
+import pytest
+
+from genrl_tpu.rewards.plugins import (_shift_map_from_best_start,
+                                       _time_gather, aligned_similarity_reward,
+                                       cosine_similarity, max_cosine_similarity,
+                                       neg_mse)
+
+
+def reference_shift_map(best_t, T, T_target):
+    """Reference: one_hot(argmax) double-cumsum minus 1, clipped (numpy)."""
+    B = best_t.shape[0]
+    onehot = np.zeros((B, T_target), np.int64)
+    onehot[np.arange(B), best_t] = 1
+    ts = np.clip(np.cumsum(np.cumsum(onehot, axis=1), axis=1) - 1, 0, None).T
+    return ts  # [T_target, B]
+
+
+def test_shift_map_matches_reference_trick():
+    T = T_target = 9
+    best_t = np.array([0, 3, 8])
+    ours = np.asarray(_shift_map_from_best_start(best_t, T, T_target))
+    ref = reference_shift_map(best_t, T, T_target)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_time_gather_semantics():
+    T, B = 5, 2
+    target = {"x": np.arange(T * B * 3, dtype=np.float32).reshape(T, B, 3)}
+    idx = np.array([[0, 1], [0, 2], [1, 3], [2, 4], [3, 4]], np.int32)
+    out = np.asarray(_time_gather(target, idx)["x"])
+    for t in range(T):
+        for b in range(B):
+            np.testing.assert_array_equal(out[t, b], target["x"][idx[t, b], b])
+
+
+def _toy_seqs(T=8, B=2, S=4, n=3, seed=0):
+    rng = np.random.default_rng(seed)
+    agent = {"deter": rng.normal(size=(T, B, S)).astype(np.float32),
+             "stoch": rng.normal(size=(T, B, S)).astype(np.float32)}
+    target = {"deter": rng.normal(size=(T, B, S)).astype(np.float32),
+              "stoch": rng.normal(size=(T, B, S)).astype(np.float32)}
+    return agent, target
+
+
+def _np_reference_align_sequence(agent, target, n, score=max_cosine_similarity):
+    """Direct transcription of the reference align_sequence loop
+    (genrl_utils.py:344-366) in numpy, identity conv_in."""
+    T = agent["deter"].shape[0]
+    scores = []
+    for t in range(T - n):
+        win = agent["stoch"][t : t + n]
+        s = np.asarray(score(target["stoch"][:n], win))
+        scores.append(s.mean(0))
+    scores = np.stack(scores, 0)  # [T-n, B]
+    best = np.argmax(scores, axis=0)
+    ts = reference_shift_map(best, T, T)
+    new_target = np.stack([
+        np.stack([target["stoch"][ts[t, b], b] for b in range(agent["stoch"].shape[1])], 0)
+        for t in range(T)], 0)
+    return np.asarray(score(new_target, agent["stoch"]))[..., None]
+
+
+def test_align_sequence_matches_reference_loop():
+    n = 3
+    agent, target = _toy_seqs(n=n)
+    identity = lambda x: x
+    flat = lambda s: s["stoch"]
+    ours = np.asarray(aligned_similarity_reward(
+        agent, target, score_fn="max_cosine", n_frames=n, conv_in_fn=identity,
+        get_stoch_agent=flat, get_stoch_target=flat, align_sequence=True))
+    ref = _np_reference_align_sequence(agent, target, n)
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_align_initial_prefers_matching_start():
+    """Construct a target equal to the agent sequence shifted by 2: alignment
+    should lock on and give ~1 cosine everywhere after the shift."""
+    T, B, S = 8, 1, 6
+    rng = np.random.default_rng(1)
+    base = rng.normal(size=(T + 2, B, S)).astype(np.float32)
+    agent = {"stoch": base[2:], "deter": base[2:]}
+    target = {"stoch": base[2:], "deter": base[2:]}  # identical -> best_t = 0
+    identity = lambda x: x
+    flat = lambda s: s["stoch"]
+    r = np.asarray(aligned_similarity_reward(
+        agent, target, score_fn="cosine", n_frames=3, conv_in_fn=identity,
+        get_stoch_agent=flat, get_stoch_target=flat, align_sequence=True))
+    np.testing.assert_allclose(r[:, 0, 0], 1.0, atol=1e-5)
+
+
+def test_similarity_primitives():
+    u = np.array([[3.0, 0.0]])
+    v = np.array([[1.0, 0.0]])
+    np.testing.assert_allclose(cosine_similarity(u, v), [1.0])
+    # max_cosine normalizes both by the LARGER norm -> 3*1/9 = 1/3
+    np.testing.assert_allclose(max_cosine_similarity(u, v), [1 / 3], atol=1e-6)
+    np.testing.assert_allclose(neg_mse(u, v), [-2 / np.sqrt(2)], atol=1e-6)
