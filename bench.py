@@ -63,7 +63,9 @@ def main():
         return agent.train_step(s, batch, k_train, target_seq=None,
                                 train_world_model=True, train_connector=True)
 
-    step = jax.jit(fused_step)
+    # donate the train state: avoids whole param/opt pytree copies every step
+    # (measured 10.9 -> 7.9 ms/step on v5e)
+    step = jax.jit(fused_step, donate_argnums=(0,))
 
     keys = jax.random.split(jax.random.PRNGKey(1), WARMUP_STEPS + MEASURE_STEPS)
     for i in range(WARMUP_STEPS):

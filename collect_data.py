@@ -73,7 +73,7 @@ class Workspace:
 
         self._jit_policy = jax.jit(self.agent.policy_step,
                                    static_argnames=("eval_mode",))
-        self._jit_train = jax.jit(self.agent.train_step)
+        self._jit_train = jax.jit(self.agent.train_step, donate_argnums=(0,))
 
     def _next_key(self):
         import jax

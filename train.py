@@ -173,6 +173,9 @@ class Workspace:
                 self.cfg.task, self.cfg.get("obs_type", "pixels"),
                 int(self.cfg.action_repeat), int(self.cfg.seed) + 1000,
                 img_size=int(self.cfg.img_size))
+            if hasattr(self._eval_env_cache, "eval_mode"):
+                # kitchen evaluates sparse with early stop (envs/main.py:393-395)
+                self._eval_env_cache.eval_mode()
         return self._eval_env_cache
 
     def eval(self, use_imag: bool = False):
@@ -264,11 +267,14 @@ class Workspace:
         if cfg.get("train_from_data", True):
             from genrl_tpu.agents.assembly import GenRLAgent
 
+            # donating the state avoids param/opt pytree copies (~30% step time)
             if isinstance(self.agent, GenRLAgent):
                 step_fn = jax.jit(lambda s, d, t, k: self.agent.train_step(
-                    s, d, k, target_seq=t, train_world_model=twm, train_connector=tconn))
+                    s, d, k, target_seq=t, train_world_model=twm,
+                    train_connector=tconn), donate_argnums=(0,))
             else:
-                step_fn = jax.jit(lambda s, d, t, k: self.agent.train_step(s, d, k))
+                step_fn = jax.jit(lambda s, d, t, k: self.agent.train_step(s, d, k),
+                                  donate_argnums=(0,))
         data_free_fn = None
         if not cfg.get("train_from_data", True):
             data_free_fn = jax.jit(
@@ -276,7 +282,7 @@ class Workspace:
                     s, k, t, int(cfg.batch_size), int(cfg.batch_length),
                     cfg.get("start_from_video", "mix"),
                     bool(cfg.get("mix_random_actions", True)),
-                    int(cfg.get("imag_warmup_steps", 5))))
+                    int(cfg.get("imag_warmup_steps", 5))), donate_argnums=(0,))
 
         eval_every = Every(int(cfg.eval_every_frames), 1)
         visual_every = Every(int(cfg.visual_every_frames), 1)
