@@ -74,6 +74,42 @@ class Workspace:
         self._jit_policy = jax.jit(self.agent.policy_step,
                                    static_argnames=("eval_mode",))
         self._jit_train = jax.jit(self.agent.train_step, donate_argnums=(0,))
+        self._eval_env = None
+
+    # ---- eval (reference: collect_data.py eval loop, eval_modality='task') ----
+    def eval(self):
+        from genrl_tpu import envs
+        from genrl_tpu.utils.task_scores import MAX, normalized_score
+
+        cfg = self.cfg
+        if self._eval_env is None:
+            self._eval_env = envs.make(
+                cfg.task, cfg.obs_type, int(cfg.action_repeat),
+                int(cfg.seed) + 1000, img_size=int(cfg.img_size))
+            if hasattr(self._eval_env, "eval_mode"):
+                self._eval_env.eval_mode()
+        rewards = []
+        steps = 0
+        for _ in range(int(cfg.num_eval_episodes)):
+            ts, obs = self._eval_env.reset()
+            carry = self.agent.init_policy_carry(1)
+            total = 0.0
+            while not obs["is_last"]:
+                action, carry = self._jit_policy(
+                    self.state, self._obs_to_model(obs), carry,
+                    self._next_key(), eval_mode=True)
+                ts, obs = self._eval_env.step(np.asarray(action[0]))
+                total += obs["reward"]
+                steps += 1
+            rewards.append(total)
+        mean_reward = float(np.mean(rewards))
+        with self.logger.log_and_dump_ctx(self.global_step, ty="eval") as log:
+            log("episode_reward", mean_reward)
+            log("episode_length", steps * int(cfg.action_repeat) / max(1, len(rewards)))
+            log("step", self.global_step)
+            if cfg.task in MAX:
+                log("normalized_score", normalized_score(cfg.task, mean_reward))
+        return mean_reward
 
     def _next_key(self):
         import jax
@@ -104,12 +140,16 @@ class Workspace:
         should_save = Every(int(cfg.save_every_frames), ar)
         train_every = int(cfg.get("train_every_actions", 10))
         only_random = bool(cfg.get("only_random_actions", False))
+        eval_every = Every(int(cfg.eval_every_frames), ar)
 
         ts, obs = self.env.reset()
         carry = self.agent.init_policy_carry(1)
         episode_reward, episode_len = 0.0, 0
         metrics = {}
         while train_until(self.global_step):
+            if (self.global_step > 0 and cfg.get("eval_modality") == "task"
+                    and eval_every(self.global_step)):
+                self.eval()
             if obs["is_last"]:
                 # viclip accumulate flush (reference: collect_data.py:240-247)
                 if hasattr(self.env, "process_accumulate"):
