@@ -232,6 +232,7 @@ TRAIN_BASE = dict(
     torch_snapshot_path=None,   # convert-on-load of reference .pt snapshots
     # TPU-native additions
     mesh=dict(data=-1, model=1),   # -1: use all remaining devices
+    replay_device=True,            # HBM-resident replay when the dataset fits
     use_pallas=True,
     profile=False,
 )

@@ -48,6 +48,7 @@ class Workspace:
         # ---- replay ----------------------------------------------------------
         self.replay = None
         self.replay_iter = None
+        self.device_replay = None
         if cfg.get("train_from_data", True):
             load_dir = cfg.get("replay_load_dir") or (self.work_dir / "buffer")
             self.replay = ReplayBuffer(
@@ -60,6 +61,7 @@ class Workspace:
             )
             if len(self.replay) == 0:
                 raise SystemExit(f"no episodes found in {load_dir}")
+            self._replay_load_dir = load_dir
 
         # ---- mesh + agent -------------------------------------------------------
         import math
@@ -70,6 +72,22 @@ class Workspace:
             n_avail = len(jax.devices()) // max(1, int(mesh_cfg.get("model", 1)))
             mesh_cfg["data"] = math.gcd(int(cfg.batch_size), n_avail)
         self.mesh = make_mesh(**mesh_cfg)
+        if self.replay is not None and cfg.get("replay_device", True):
+            # device-resident store: sampling fuses into the train jit, zero
+            # steady-state H2D (the streaming path is feed-bound on slow host
+            # links). Falls back when the dataset exceeds HBM.
+            from genrl_tpu.data.device_replay import DeviceReplay
+            from genrl_tpu.parallel import replicated
+
+            try:
+                self.device_replay = DeviceReplay(
+                    self._replay_load_dir, int(cfg.batch_length),
+                    minlen=int(cfg.replay.minlen), load_recursive=True,
+                    sharding=replicated(self.mesh))
+                print(f"replay: device-resident "
+                      f"({self.device_replay.stats['loaded_episodes']} episodes)")
+            except (MemoryError, ValueError) as e:
+                print(f"replay: streaming (device store unavailable: {e})")
         obs_space, act_dim = self._spaces()
         self.agent = make_agent(cfg, obs_space, act_dim)
 
@@ -269,12 +287,36 @@ class Workspace:
 
             # donating the state avoids param/opt pytree copies (~30% step time)
             if isinstance(self.agent, GenRLAgent):
-                step_fn = jax.jit(lambda s, d, t, k: self.agent.train_step(
-                    s, d, k, target_seq=t, train_world_model=twm,
-                    train_connector=tconn), donate_argnums=(0,))
+                agent_step = lambda s, d, k: self.agent.train_step(
+                    s, d, k, target_seq=target, train_world_model=twm,
+                    train_connector=tconn)
             else:
-                step_fn = jax.jit(lambda s, d, t, k: self.agent.train_step(s, d, k),
-                                  donate_argnums=(0,))
+                agent_step = lambda s, d, k: self.agent.train_step(s, d, k)
+            # the PRNG key is derived INSIDE the jit from the host step count:
+            # a host-side jax.random.split would cost a device round trip per
+            # step (expensive over remote-TPU links)
+            base_key = jax.random.PRNGKey(int(cfg.seed) + 1234)
+            if self.device_replay is not None:
+                from genrl_tpu.data.device_replay import sample_windows
+
+                dr = self.device_replay
+                bs = self.batch_sharding if self.mesh.shape["data"] > 1 else None
+
+                def fused(s, arrays, ep_len, base, step):
+                    k1, k2 = jax.random.split(jax.random.fold_in(base, step))
+                    d = sample_windows(arrays, ep_len, k1, int(cfg.batch_size),
+                                       int(cfg.batch_length), bs)
+                    return agent_step(s, d, k2)
+
+                fused_jit = jax.jit(fused, donate_argnums=(0,))
+                step_fn = lambda s, d, t, i: fused_jit(s, dr.arrays, dr.ep_len,
+                                                       base_key, i)
+            else:
+                plain_jit = jax.jit(
+                    lambda s, d, base, step: agent_step(
+                        s, d, jax.random.fold_in(base, step)),
+                    donate_argnums=(0,))
+                step_fn = lambda s, d, t, i: plain_jit(s, d, base_key, i)
         data_free_fn = None
         if not cfg.get("train_from_data", True):
             data_free_fn = jax.jit(
@@ -299,14 +341,16 @@ class Workspace:
                 except Exception as e:
                     print(f"report_visuals failed: {e}")
             if cfg.get("train_from_data", True):
-                batch = next(self.replay_iter)
-                self.state, metrics = step_fn(self.state, batch, target, self._next_key())
+                batch = None if self.device_replay is not None else next(self.replay_iter)
+                self.state, metrics = step_fn(self.state, batch, target,
+                                              self.global_step)
             else:
                 self.state, metrics = data_free_fn(self.state, target, self._next_key())
 
             self.global_step += 1
             if self.global_step > 0 and should_log(self.global_step):
-                host = {k: float(np.asarray(v)) for k, v in metrics.items()}
+                # one bulk device->host transfer for the whole metrics dict
+                host = {k: float(v) for k, v in jax.device_get(metrics).items()}
                 if self.replay is not None:
                     host.update({k: float(v) for k, v in self.replay.stats.items()})
                 self.logger.log_metrics(host, self.global_step, ty="train")
