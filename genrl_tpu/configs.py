@@ -167,6 +167,7 @@ _TRAIN_MODE_MODEL = dict(
 )
 
 _TRAIN_MODE_BEHAVIOR = dict(
+    num_train_frames=500_010,
     batch_size=32,
     batch_length=32,
     agent=dict(imag_reward_fn="video_text_reward"),

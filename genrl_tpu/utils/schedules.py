@@ -70,6 +70,17 @@ def retry(fn, attempts: int = 1000):
     return wrapped
 
 
+def slerp(p0, p1, t):
+    """Spherical interpolation between two vectors (reference: tools/utils.py)."""
+    p0, p1 = np.asarray(p0), np.asarray(p1)
+    omega = np.arccos(
+        np.clip(np.dot(p0 / np.linalg.norm(p0), p1 / np.linalg.norm(p1)), -1, 1))
+    so = np.sin(omega)
+    if so == 0:
+        return (1.0 - t) * p0 + t * p1
+    return np.sin((1.0 - t) * omega) / so * p0 + np.sin(t * omega) / so * p1
+
+
 def flatten_dict(d, parent_key: str = "", sep: str = "/"):
     items = []
     for k, v in d.items():
