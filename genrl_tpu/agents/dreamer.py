@@ -410,11 +410,10 @@ def behavior_update(
             objective = policy.log_prob(sg(seq["action"][1:-1]))[..., None] * sg(advantage)
         else:
             raise NotImplementedError(ac.actor_grad)
-        ent = policy.entropy()
-        if callable(getattr(ent, "shape", None)) or ent is None:  # pragma: no cover
-            raise RuntimeError
         if isinstance(policy, D.SquashedNormal):
-            ent = policy.entropy(key_ent)
+            ent = policy.entropy(key_ent)  # Monte-Carlo (SampleDist role)
+        else:
+            ent = policy.entropy()
         ent = ent[..., None]
         objective = objective + float(cfg.actor_ent) * ent
         mets["actor_ent"] = jnp.mean(ent)
