@@ -67,6 +67,10 @@ class Encoder(nn.Module):
                 # channel-wise layernorm on NHWC == LayerNorm over the last axis
                 x = NormLayer(self.norm, eps=1e-3, dtype=self.dtype, name=f"convnorm{i}")(x)
                 x = act(x)
+            # flatten in channel-first order to match the reference's embed
+            # layout (dreamer_utils.py:620-623) — keeps converted reference
+            # checkpoints' obs_out weights valid without permutation
+            x = jnp.moveaxis(x, -1, -3)
             outputs.append(x.reshape(x.shape[:-3] + (-1,)))
         if mlp_keys:
             x = jnp.concatenate([flat[k] for k in mlp_keys], -1).astype(self.dtype)

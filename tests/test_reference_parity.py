@@ -130,3 +130,55 @@ def test_rssm_kl_loss_parity(rng):
                          {"logit": jnp.asarray(prior_l)}, False, 0.8, 1.0, False,
                          method="kl_loss")
     np.testing.assert_allclose(float(loss), float(ref_loss), atol=1e-4)
+
+
+@pytest.mark.slow
+def test_encoder_parity(rng):
+    """Reference conv Encoder forward == ours after conv-kernel transplant
+    (validates the Conv2d OIHW->HWIO map and ImgChLayerNorm equivalence)."""
+    from genrl_tpu.models.encoder import Encoder
+
+    shapes = {"observation": (3, 16, 16)}  # reference CHW spec
+    ref = du.Encoder(shapes, cnn_keys="observation", mlp_keys="$^",
+                     norm="layer", cnn_depth=8, cnn_kernels=(4, 4)).eval()
+    flat = {f"wm.encoder.{k}": v for k, v in flatten_module(ref).items()}
+    m = _Mapper(flat)
+    m.encoder("wm.encoder", "encoder", n_convs=2)
+    params = {"params": m.tree["encoder"]}
+
+    obs = np.float32(rng.normal(size=(2, 5, 3, 16, 16)) * 0.4)
+    with torch.no_grad():
+        ref_out = ref({"observation": torch.tensor(obs)}).numpy()
+
+    ours = Encoder(shapes=(("observation", (16, 16, 3)),), cnn_keys="observation",
+                   mlp_keys="$^", norm="layer", cnn_depth=8, cnn_kernels=(4, 4))
+    out = np.asarray(ours.apply(
+        params, {"observation": jnp.asarray(obs.transpose(0, 1, 3, 4, 2))}))
+    np.testing.assert_allclose(out, ref_out, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_decoder_parity(rng):
+    """Reference ConvTranspose Decoder == ours after transplant (validates
+    the IOHW->HWOI transpose_kernel map and the conv_in reward-feature space)."""
+    from genrl_tpu.models.decoder import Decoder
+
+    shapes = {"observation": (3, 16, 16)}
+    E = 12
+    ref = du.Decoder(shapes, cnn_keys="observation", mlp_keys="$^",
+                     norm="layer", cnn_depth=8, cnn_kernels=(6, 6),
+                     embed_dim=E).eval()
+    flat = {f"wm.heads.decoder.{k}": v for k, v in flatten_module(ref).items()}
+    m = _Mapper(flat)
+    m.decoder("wm.heads.decoder", "decoder", n_convs=2)
+    params = {"params": m.tree["decoder"]}
+
+    feats = np.float32(rng.normal(size=(2, 5, E)))
+    with torch.no_grad():
+        ref_mean = ref(torch.tensor(feats))["observation"].mean.numpy()
+
+    ours = Decoder(shapes=(("observation", (16, 16, 3)),), cnn_keys="observation",
+                   mlp_keys="$^", norm="layer", cnn_depth=8, cnn_kernels=(6, 6))
+    out = ours.apply(params, jnp.asarray(feats))["observation"].mean
+    np.testing.assert_allclose(np.asarray(out),
+                               ref_mean.transpose(0, 1, 3, 4, 2), atol=3e-4)
