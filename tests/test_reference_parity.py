@@ -14,8 +14,13 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
+# import the oracle, then REMOVE the reference from sys.path — leaving it
+# would shadow this repo's collect_data/process_dataset in later tests
 sys.path.insert(0, "/root/reference")
-du = pytest.importorskip("agent.dreamer_utils")
+try:
+    du = pytest.importorskip("agent.dreamer_utils")
+finally:
+    sys.path.remove("/root/reference")
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
@@ -182,3 +187,30 @@ def test_decoder_parity(rng):
     out = ours.apply(params, jnp.asarray(feats))["observation"].mean
     np.testing.assert_allclose(np.asarray(out),
                                ref_mean.transpose(0, 1, 3, 4, 2), atol=3e-4)
+
+
+@pytest.mark.slow
+def test_actor_head_parity(rng):
+    """Reference MLP actor ('normal' DistLayer) mean/std == ours after
+    transplant (validates dense/norm/head + std-transform mapping)."""
+    from genrl_tpu.models.layers import MLPHead
+
+    F_, A = 20, 5
+    ref = du.MLP(F_, A, layers=2, units=24, norm="layer", dist="normal",
+                 min_std=0.1).eval()
+    flat = {f"actor.{k}": v for k, v in flatten_module(ref).items()}
+    m = _Mapper(flat)
+    m.mlp_head("actor", "", layers=2, has_std=True)
+    params = {"params": m.tree}
+
+    x = np.float32(rng.normal(size=(3, F_)))
+    with torch.no_grad():
+        ref_dist = ref(torch.tensor(x))
+        ref_mean = ref_dist.mean.numpy()
+        ref_std = ref_dist.base_dist.scale.numpy()
+
+    ours = MLPHead(shape=(A,), layers=2, units=24, norm="layer", dist="normal",
+                   min_std=0.1)
+    dist = ours.apply(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(dist.mean), ref_mean, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dist.std), ref_std, atol=1e-5)
