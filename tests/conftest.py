@@ -13,6 +13,10 @@ import os
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# record the deployment's platform pin so driver-path tests can restore it
+# in subprocesses (test_multichip_dryrun.py)
+os.environ.setdefault(
+    "GENRL_TEST_ORIG_JAX_PLATFORMS", os.environ.get("JAX_PLATFORMS", ""))
 os.environ["JAX_PLATFORMS"] = "cpu"
 # transformers must not import tensorflow: the TF shared objects segfault in
 # a process that already loaded torch + jax (observed in-suite), and this
