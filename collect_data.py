@@ -70,6 +70,19 @@ class Workspace:
         self._key = jax.random.PRNGKey(int(cfg.seed) + 7)
         self.global_step = 0
         self.global_episode = 0
+        # crash recovery (reference: collect_data.py:316-319): resume from the
+        # last snapshot if one exists; buffer/ NPZs were already re-ingested
+        # by the ReplayBuffer ctor above
+        if self.snap.exists():
+            loaded = self.snap.load(jax.tree_util.tree_map(np.asarray, self.state))
+            if loaded is not None:
+                state, counters = loaded
+                self.state = shard_params(state, self.mesh)
+                self.global_step = int(counters.get("step", 0))
+                self.global_episode = int(counters.get("episode", 0))
+                print(f"resuming collector: step={self.global_step} "
+                      f"episode={self.global_episode} "
+                      f"buffer_episodes={len(self.replay)}")
 
         self._jit_policy = jax.jit(self.agent.policy_step,
                                    static_argnames=("eval_mode",))
@@ -151,15 +164,17 @@ class Workspace:
                     and eval_every(self.global_step)):
                 self.eval()
             if obs["is_last"]:
-                # viclip accumulate flush (reference: collect_data.py:240-247)
+                # viclip accumulate flush (reference: collect_data.py:240-247):
+                # embeds[-1] rides the FINAL transition; embeds[:-1] backfill
+                # the ongoing tail so each frame pairs with the window that
+                # ENDS at it (same alignment as reference datasets)
+                final_obs = dict(obs, is_last=True)
                 if hasattr(self.env, "process_accumulate"):
                     embeds, key = self.env.process_accumulate()
                     if embeds:
-                        ep = self.replay._ongoing_eps[0]
-                        n = len(embeds)
-                        pad = [np.zeros_like(embeds[0])] * (len(ep["is_first"]) - n)
-                        ep[key] = pad + embeds
-                self.replay.add(dict(obs, is_last=True))
+                        self.replay.attach_key(key, embeds[:-1])
+                        final_obs[key] = np.asarray(embeds[-1])
+                self.replay.add(final_obs)
                 self.global_episode += 1
                 self.logger.log("train/episode_reward", episode_reward, self.global_step)
                 self.logger.log("train/episode_length", episode_len * ar, self.global_step)

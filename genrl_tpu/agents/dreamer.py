@@ -393,7 +393,10 @@ def behavior_update(
         mets["critic_target"] = jnp.mean(target)
 
         policy = ac.actor.apply(actor_params, sg(seq["feat"][:-2]))
-        if cfg.get("reward_ema", False) and ac.name != "imag":
+        # reward_ema normalizes λ-targets for EVERY behavior, including the
+        # imag one (reference agent/dreamer.py:400-410 — the imag behavior
+        # only swaps its StreamNorm, agent/genrl.py:53, not the target EMA)
+        if cfg.get("reward_ema", False):
             offset, scale, new_ema = reward_ema(target, ac_state.ema_vals)
             normed_target = (target - offset) / scale
             normed_baseline = (baseline - offset) / scale

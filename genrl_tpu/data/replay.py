@@ -203,6 +203,26 @@ class ReplayBuffer:
             ep.clear()
             self._store_episode(episode)
 
+    def attach_key(self, key: str, values, env_id: int = 0):
+        """Attach per-step `values` to the TAIL of the ongoing episode under
+        `key`, zero-padding the head. values[i] aligns with ongoing step
+        `T - len(values) + i` — the deferred-embedding backfill contract of
+        the reference collector (collect_data.py:244-246), exposed as a
+        public API instead of poking `_ongoing_eps` internals."""
+        values = list(values)
+        ep = self._ongoing_eps[env_id]
+        steps = len(ep["is_first"])
+        if len(values) > steps:
+            raise ValueError(
+                f"attach_key({key!r}): {len(values)} values for a "
+                f"{steps}-step ongoing episode")
+        pad = [np.zeros_like(np.asarray(values[0]))] * (steps - len(values))
+        ep[key] = pad + [np.asarray(v) for v in values]
+
+    def ongoing_len(self, env_id: int = 0) -> int:
+        """Number of steps accumulated in the ongoing episode."""
+        return len(self._ongoing_eps[env_id]["is_first"])
+
     def _store_episode(self, episode: Dict[str, np.ndarray]):
         length = episode_len(episode)
         if length < max(1, self._minlen - 1):

@@ -4,10 +4,12 @@ The reference saves snapshots as `torch.save({'agent': <GenRLAgent module>,
 '_global_step': ...})` — the agent is pickled WHOLE, module objects included
 (reference: train.py:368-374). Published pretrained models
 (e.g. genrl_stickman_500k_2.pt) therefore can't be read as plain state
-dicts. This loader substitutes a stub class for every unresolvable reference
-class during unpickling, walks the reconstructed `_parameters/_modules`
-graph into a flat name->array dict, and maps those names onto this
-framework's param trees (SURVEY.md §7 hard part (c)).
+dicts. This loader unpickles with an ALLOWLIST (only tensor/ndarray
+reconstruction helpers resolve; every other class — including importable
+ones — becomes an inert stub, so an untrusted .pt cannot execute code),
+walks the reconstructed `_parameters/_modules` graph into a flat
+name->array dict, and maps those names onto this framework's param trees
+(SURVEY.md §7 hard part (c)).
 
 Weight-layout transforms: torch Linear [out, in] -> flax kernel [in, out];
 Conv2d [O, I, kh, kw] -> [kh, kw, I, O]; ConvTranspose2d [I, O, kh, kw] ->
@@ -39,16 +41,53 @@ class _Stub:
         raise pickle.PicklingError("stub")
 
 
+# Only what tensor/ndarray reconstruction genuinely needs may resolve to a
+# real callable; EVERYTHING else unpickles as an inert _Stub.  A published
+# reference .pt is untrusted input — resolving arbitrary importables
+# (os.system, builtins.eval, torch serialization gadgets) would hand it
+# code execution.
+_ALLOWED = {
+    ("collections", "OrderedDict"),
+    ("_codecs", "encode"),
+    ("numpy", "ndarray"),
+    ("numpy", "dtype"),
+    ("numpy.core.multiarray", "_reconstruct"),
+    ("numpy.core.multiarray", "scalar"),
+    ("numpy._core.multiarray", "_reconstruct"),
+    ("numpy._core.multiarray", "scalar"),
+    ("torch._utils", "_rebuild_tensor"),
+    ("torch._utils", "_rebuild_tensor_v2"),
+    ("torch._utils", "_rebuild_parameter"),
+    ("torch._utils", "_rebuild_meta_tensor_no_storage"),
+    ("torch.serialization", "_get_layout"),
+    ("torch", "Size"),
+    ("torch", "device"),
+}
+
+
+def _is_allowed(module: str, name: str) -> bool:
+    if (module, name) in _ALLOWED:
+        return True
+    # torch storage classes (FloatStorage, BFloat16Storage, UntypedStorage…)
+    # and dtype singletons (torch.float32 …) pickle as attrs of `torch`
+    if module == "torch":
+        if name.endswith("Storage"):
+            return True
+        import torch
+
+        return isinstance(getattr(torch, name, None), torch.dtype)
+    return False
+
+
 def _make_unpickler_module():
-    class StubUnpickler(pickle.Unpickler):
+    class AllowlistUnpickler(pickle.Unpickler):
         def find_class(self, module, name):
-            try:
+            if _is_allowed(module, name):
                 return super().find_class(module, name)
-            except Exception:
-                return type(name, (_Stub,), {"__module__": module})
+            return type(name, (_Stub,), {"__module__": module})
 
     class Shim:
-        Unpickler = StubUnpickler
+        Unpickler = AllowlistUnpickler
         load = staticmethod(pickle.load)
 
     return Shim

@@ -7,6 +7,11 @@
 // load. Used by genrl_tpu/data/native.py (ctypes) to accelerate episode
 // ingest (DeviceReplay uploads, streaming refills, dataset scans).
 //
+// Robustness contract: every offset/length read from the (untrusted,
+// possibly torn) file is validated against the file size before it is
+// dereferenced; a corrupt episode returns an error (which replay.py turns
+// into the numpy fallback / per-file skip) instead of crashing the trainer.
+//
 // Build: see native/build.sh  ->  libnpz_reader.so
 //
 // C ABI:
@@ -23,6 +28,7 @@
 
 #include <zlib.h>
 
+#include <algorithm>
 #include <atomic>
 #include <cstdint>
 #include <cstring>
@@ -34,7 +40,14 @@
 
 namespace {
 
-thread_local std::string g_error;
+// error string shared across the inflate worker threads
+std::mutex g_error_mu;
+std::string g_error;
+
+void set_error(const std::string& msg) {
+  std::lock_guard<std::mutex> lock(g_error_mu);
+  g_error = msg;
+}
 
 struct Entry {
   std::string name;        // without .npy suffix
@@ -55,6 +68,12 @@ struct Archive {
   std::vector<char> file;  // whole archive in memory
 };
 
+// off/len window entirely inside the file?
+bool in_file(const Archive& a, uint64_t off, uint64_t len) {
+  uint64_t size = a.file.size();
+  return off <= size && len <= size - off;
+}
+
 uint16_t rd16(const unsigned char* p) { return p[0] | (p[1] << 8); }
 uint32_t rd32(const unsigned char* p) {
   return p[0] | (p[1] << 8) | (p[2] << 16) | ((uint32_t)p[3] << 24);
@@ -65,11 +84,12 @@ uint64_t rd64(const unsigned char* p) {
   return v;
 }
 
-// Parse the npy header of a decompressed member: returns payload offset and
-// fills descr/shape/fortran.
+// Parse the npy header of a decompressed member prefix (`size` bytes
+// available): returns payload offset and fills descr/shape/fortran. All
+// lengths checked against the prefix size.
 bool parse_npy_header(const char* buf, uint64_t size, Entry* e) {
-  if (size < 10 || memcmp(buf, "\x93NUMPY", 6) != 0) {
-    g_error = "bad npy magic";
+  if (size < 12 || memcmp(buf, "\x93NUMPY", 6) != 0) {
+    set_error("bad npy magic");
     return false;
   }
   unsigned major = (unsigned char)buf[6];
@@ -81,22 +101,39 @@ bool parse_npy_header(const char* buf, uint64_t size, Entry* e) {
     hlen = rd32((const unsigned char*)buf + 8);
     hstart = 12;
   }
+  if (hstart + hlen > size) {
+    set_error("npy header exceeds inflated prefix");
+    return false;
+  }
   std::string header(buf + hstart, buf + hstart + hlen);
   e->header_len = hstart + hlen;
+  if (e->raw_size < e->header_len) {
+    set_error("npy member smaller than its header");
+    return false;
+  }
   auto find_val = [&](const std::string& key) -> std::string {
     size_t k = header.find("'" + key + "'");
     if (k == std::string::npos) return "";
     size_t c = header.find(':', k);
+    if (c == std::string::npos) return "";
     return header.substr(c + 1);
   };
   std::string d = find_val("descr");
   size_t q1 = d.find('\'');
-  size_t q2 = d.find('\'', q1 + 1);
+  size_t q2 = q1 == std::string::npos ? std::string::npos : d.find('\'', q1 + 1);
+  if (q2 == std::string::npos) {
+    set_error("npy header missing descr");
+    return false;
+  }
   e->descr = d.substr(q1 + 1, q2 - q1 - 1);
   e->fortran = find_val("fortran_order").find("True") != std::string::npos;
   std::string s = find_val("shape");
   size_t p1 = s.find('(');
   size_t p2 = s.find(')');
+  if (p1 == std::string::npos || p2 == std::string::npos || p2 < p1) {
+    set_error("npy header missing shape");
+    return false;
+  }
   std::string dims = s.substr(p1 + 1, p2 - p1 - 1);
   e->shape.clear();
   long cur = -1;
@@ -113,51 +150,93 @@ bool parse_npy_header(const char* buf, uint64_t size, Entry* e) {
   return true;
 }
 
+// Inflate up to out_cap bytes of a deflate member into *out, feeding input
+// and output in uInt-safe chunks (members >4 GB inflate correctly).
+bool inflate_prefix(const Archive& a, const Entry& e, char* out,
+                    uint64_t out_cap, bool require_end) {
+  z_stream zs;
+  memset(&zs, 0, sizeof(zs));
+  if (inflateInit2(&zs, -MAX_WBITS) != Z_OK) {
+    set_error("inflateInit failed");
+    return false;
+  }
+  const uint64_t CHUNK = 1ull << 30;  // < UINT32_MAX
+  const Bytef* in = (const Bytef*)(a.file.data() + e.data_offset);
+  uint64_t in_left = e.comp_size;
+  Bytef* outp = (Bytef*)out;
+  uint64_t out_left = out_cap;
+  int rc = Z_OK;
+  while (rc != Z_STREAM_END) {
+    if (zs.avail_in == 0 && in_left) {
+      uInt take = (uInt)std::min<uint64_t>(in_left, CHUNK);
+      zs.next_in = (Bytef*)in;
+      zs.avail_in = take;
+      in += take;
+      in_left -= take;
+    }
+    if (zs.avail_out == 0 && out_left) {
+      uInt take = (uInt)std::min<uint64_t>(out_left, CHUNK);
+      zs.next_out = outp;
+      zs.avail_out = take;
+      outp += take;
+      out_left -= take;
+    }
+    if (!require_end && zs.avail_out == 0 && out_left == 0) break;  // prefix done
+    rc = inflate(&zs, Z_NO_FLUSH);
+    if (rc == Z_OK || rc == Z_STREAM_END) continue;
+    if (rc == Z_BUF_ERROR && (in_left || out_left)) continue;  // refill
+    set_error("inflate failed rc=" + std::to_string(rc) +
+              (in_left == 0 ? " (truncated or oversized member)" : ""));
+    inflateEnd(&zs);
+    return false;
+  }
+  inflateEnd(&zs);
+  return true;
+}
+
 bool inflate_member(const Archive& a, const Entry& e, std::vector<char>* out) {
+  uint64_t payload = e.method == 0 ? e.raw_size : e.comp_size;
+  if (!in_file(a, e.data_offset, payload)) {
+    set_error("member payload out of file bounds");
+    return false;
+  }
   out->resize(e.raw_size);
   if (e.method == 0) {
     memcpy(out->data(), a.file.data() + e.data_offset, e.raw_size);
     return true;
   }
-  z_stream zs;
-  memset(&zs, 0, sizeof(zs));
-  if (inflateInit2(&zs, -MAX_WBITS) != Z_OK) {
-    g_error = "inflateInit failed";
+  if (e.method != 8) {
+    set_error("unsupported compression method " + std::to_string(e.method));
     return false;
   }
-  zs.next_in = (Bytef*)(a.file.data() + e.data_offset);
-  zs.avail_in = (uInt)e.comp_size;
-  zs.next_out = (Bytef*)out->data();
-  zs.avail_out = (uInt)e.raw_size;
-  int rc = inflate(&zs, Z_FINISH);
-  inflateEnd(&zs);
-  if (rc != Z_STREAM_END) {
-    g_error = "inflate failed rc=" + std::to_string(rc);
-    return false;
-  }
-  return true;
+  return inflate_prefix(a, e, out->data(), e.raw_size, /*require_end=*/true);
 }
 
 }  // namespace
 
 extern "C" {
 
-const char* npz_last_error() { return g_error.c_str(); }
+const char* npz_last_error() {
+  thread_local std::string copy;
+  std::lock_guard<std::mutex> lock(g_error_mu);
+  copy = g_error;
+  return copy.c_str();
+}
 
 void* npz_open(const char* path) {
   auto a = new Archive();
   a->path = path;
   std::ifstream f(path, std::ios::binary | std::ios::ate);
   if (!f) {
-    g_error = std::string("cannot open ") + path;
+    set_error(std::string("cannot open ") + path);
     delete a;
     return nullptr;
   }
   std::streamsize size = f.tellg();
   f.seekg(0);
   a->file.resize(size);
-  if (!f.read(a->file.data(), size)) {
-    g_error = "read failed";
+  if (size > 0 && !f.read(a->file.data(), size)) {
+    set_error("read failed");
     delete a;
     return nullptr;
   }
@@ -172,7 +251,7 @@ void* npz_open(const char* path) {
     }
   }
   if (eocd < 0) {
-    g_error = "no EOCD";
+    set_error("no EOCD");
     delete a;
     return nullptr;
   }
@@ -182,17 +261,21 @@ void* npz_open(const char* path) {
     long loc = eocd - 20;
     if (loc >= 0 && rd32(buf + loc) == 0x07064b50) {
       uint64_t z64 = rd64(buf + loc + 8);
-      if (rd32(buf + z64) == 0x06064b50) {
+      if (in_file(*a, z64, 56) && rd32(buf + z64) == 0x06064b50) {
         n_entries = rd64(buf + z64 + 32);
         cd_off = rd64(buf + z64 + 48);
+      } else {
+        set_error("bad zip64 EOCD locator");
+        delete a;
+        return nullptr;
       }
     }
   }
 
   uint64_t p = cd_off;
   for (uint64_t i = 0; i < n_entries; ++i) {
-    if (rd32(buf + p) != 0x02014b50) {
-      g_error = "bad central header";
+    if (!in_file(*a, p, 46) || rd32(buf + p) != 0x02014b50) {
+      set_error("bad central header");
       delete a;
       return nullptr;
     }
@@ -204,6 +287,12 @@ void* npz_open(const char* path) {
     uint16_t extra_len = rd16(buf + p + 30);
     uint16_t comment_len = rd16(buf + p + 32);
     uint64_t lho = rd32(buf + p + 42);
+    if (!in_file(*a, p + 46,
+                 (uint64_t)name_len + extra_len + comment_len)) {
+      set_error("central record fields out of bounds");
+      delete a;
+      return nullptr;
+    }
     std::string name((const char*)buf + p + 46, name_len);
     // zip64 extra on the central record
     uint64_t xp = p + 46 + name_len;
@@ -211,46 +300,67 @@ void* npz_open(const char* path) {
     while (xp + 4 <= xend) {
       uint16_t tag = rd16(buf + xp);
       uint16_t len = rd16(buf + xp + 2);
+      if (xp + 4 + len > xend) {
+        set_error("zip64 extra field overruns extra block");
+        delete a;
+        return nullptr;
+      }
       if (tag == 0x0001) {
         uint64_t q = xp + 4;
-        if (e.raw_size == 0xFFFFFFFFu) { e.raw_size = rd64(buf + q); q += 8; }
-        if (e.comp_size == 0xFFFFFFFFu) { e.comp_size = rd64(buf + q); q += 8; }
-        if (lho == 0xFFFFFFFFu) { lho = rd64(buf + q); q += 8; }
+        uint64_t qend = xp + 4 + len;
+        auto take64 = [&](uint64_t* dst) -> bool {
+          if (q + 8 > qend) return false;
+          *dst = rd64(buf + q);
+          q += 8;
+          return true;
+        };
+        bool ok = true;
+        if (e.raw_size == 0xFFFFFFFFu) ok = ok && take64(&e.raw_size);
+        if (e.comp_size == 0xFFFFFFFFu) ok = ok && take64(&e.comp_size);
+        if (lho == 0xFFFFFFFFu) ok = ok && take64(&lho);
+        if (!ok) {
+          set_error("truncated zip64 extra field");
+          delete a;
+          return nullptr;
+        }
       }
       xp += 4 + len;
     }
     // local header -> payload offset
-    if (rd32(buf + lho) != 0x04034b50) {
-      g_error = "bad local header";
+    if (!in_file(*a, lho, 30) || rd32(buf + lho) != 0x04034b50) {
+      set_error("bad local header");
       delete a;
       return nullptr;
     }
     uint16_t lname = rd16(buf + lho + 26);
     uint16_t lextra = rd16(buf + lho + 28);
     e.data_offset = lho + 30 + lname + lextra;
+    uint64_t payload = e.method == 0 ? e.raw_size : e.comp_size;
+    if (!in_file(*a, e.data_offset, payload)) {
+      set_error("member payload out of file bounds");
+      delete a;
+      return nullptr;
+    }
     if (name.size() > 4 && name.substr(name.size() - 4) == ".npy") {
       e.name = name.substr(0, name.size() - 4);
     } else {
       e.name = name;
     }
-    // parse the npy header: need the first bytes decompressed; for deflate
-    // inflate a small prefix
+    // parse the npy header from a small decompressed prefix
     {
-      std::vector<char> head;
+      uint64_t want = std::min<uint64_t>(e.raw_size, 4096);
+      std::vector<char> head(want);
       if (e.method == 0) {
-        head.assign(a->file.data() + e.data_offset,
-                    a->file.data() + e.data_offset + std::min<uint64_t>(e.raw_size, 4096));
+        memcpy(head.data(), a->file.data() + e.data_offset, want);
+      } else if (e.method == 8) {
+        if (!inflate_prefix(*a, e, head.data(), want, /*require_end=*/false)) {
+          delete a;
+          return nullptr;
+        }
       } else {
-        head.resize(std::min<uint64_t>(e.raw_size, 4096));
-        z_stream zs;
-        memset(&zs, 0, sizeof(zs));
-        inflateInit2(&zs, -MAX_WBITS);
-        zs.next_in = (Bytef*)(a->file.data() + e.data_offset);
-        zs.avail_in = (uInt)e.comp_size;
-        zs.next_out = (Bytef*)head.data();
-        zs.avail_out = (uInt)head.size();
-        inflate(&zs, Z_SYNC_FLUSH);
-        inflateEnd(&zs);
+        set_error("unsupported compression method " + std::to_string(e.method));
+        delete a;
+        return nullptr;
       }
       if (!parse_npy_header(head.data(), head.size(), &e)) {
         delete a;
@@ -295,7 +405,7 @@ int npz_read_all(void* h, char** out_ptrs, int n_threads) {
   auto worker = [&]() {
     for (;;) {
       int i = next.fetch_add(1);
-      if (i >= n) return;
+      if (i >= n || failed.load()) return;
       const Entry& e = a->entries[i];
       std::vector<char> raw;
       if (!inflate_member(*a, e, &raw)) {
@@ -306,7 +416,7 @@ int npz_read_all(void* h, char** out_ptrs, int n_threads) {
     }
   };
   int workers = n_threads > 0 ? n_threads : (int)std::thread::hardware_concurrency();
-  workers = std::min(workers, n);
+  workers = std::min(std::max(workers, 1), std::max(n, 1));
   std::vector<std::thread> pool;
   for (int t = 1; t < workers; ++t) pool.emplace_back(worker);
   worker();

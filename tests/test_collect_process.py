@@ -37,6 +37,49 @@ def test_collect_data_plan2explore(tmp_path):
     assert (tmp_path / "walker_walk" / "snapshots" / "last_snapshot").exists()
 
 
+def test_collect_data_resumes_from_snapshot(tmp_path):
+    """Kill-and-resume: a relaunched collector reloads the snapshot counters
+    (reference: collect_data.py:316-319) and re-ingests buffer/ NPZs."""
+    import collect_data as cli
+
+    args = TINY + ["task=walker_walk", "num_train_frames=120",
+                   "action_repeat=2", f"workdir={tmp_path}"]
+    cli.main(args)  # run 1: 60 steps, writes last_snapshot
+
+    from genrl_tpu.configs import COLLECT_BASE, PRESETS
+    from genrl_tpu.utils.config import compose
+
+    cfg = compose(PRESETS, COLLECT_BASE, args)
+    ws = cli.Workspace(cfg)  # run 2 workspace: must resume, not start fresh
+    assert ws.global_step == 60
+
+
+def test_accumulate_flush_alignment():
+    """The deferred ViCLIP flush must match reference alignment
+    (collect_data.py:244-246): embeds[-1] on the final transition,
+    embeds[:-1] backfilling the tail, zero pad at the head."""
+    from genrl_tpu.data import ReplayBuffer
+
+    replay = ReplayBuffer(length=4, minlen=1)
+    T, n, d = 10, 4, 8
+    rng = np.random.default_rng(0)
+    embeds = [rng.normal(size=d).astype(np.float32) for _ in range(n)]
+    for t in range(T):
+        replay.add({"observation": np.zeros(3, np.float32),
+                    "clip_video": np.zeros(d, np.float32),
+                    "is_first": t == 0, "is_last": False})
+    # episode end, mirroring collect_data.Workspace.train's flush
+    replay.attach_key("clip_video", embeds[:-1])
+    replay.add({"observation": np.zeros(3, np.float32),
+                "clip_video": embeds[-1], "is_first": False, "is_last": True})
+    ep = next(iter(replay._episodes.values()))
+    assert ep["clip_video"].shape == (T + 1, d)
+    # zeros at 0..T-n, embeds at T-n+1..T (window ENDING at each frame)
+    assert np.allclose(ep["clip_video"][: T + 1 - n], 0)
+    for i, e in enumerate(embeds):
+        np.testing.assert_allclose(ep["clip_video"][T + 1 - n + i], e)
+
+
 def test_process_dataset_roundtrip(tmp_path, fixture_episode_dir):
     import process_dataset as cli
 

@@ -76,3 +76,44 @@ def test_load_dir(lib, tmp_path):
 def test_error_on_missing(lib):
     with pytest.raises(IOError):
         lib.load_episode_native("/nonexistent/file.npz")
+
+
+def test_native_reader_rejects_corrupt_files(tmp_path):
+    """Truncated / bit-flipped / garbage archives must error (triggering the
+    numpy fallback in replay.load_episode), never crash the process."""
+    import pytest
+
+    from genrl_tpu.data import native
+
+    if not native.available():
+        pytest.skip("native lib not built")
+
+    good = tmp_path / "good.npz"
+    np.savez_compressed(good, a=np.arange(1000, dtype=np.float32),
+                        b=np.ones((7, 3), np.uint8))
+    raw = good.read_bytes()
+
+    cases = {
+        "truncated_half": raw[: len(raw) // 2],
+        "truncated_tail": raw[:-7],
+        "garbage": bytes(range(256)) * 40,
+        "empty": b"",
+    }
+    # bit-flip sweep over structural regions (headers + central directory)
+    rng = np.random.default_rng(0)
+    for trial in range(20):
+        b = bytearray(raw)
+        for _ in range(8):
+            b[int(rng.integers(0, len(b)))] ^= 0xFF
+        cases[f"bitflip{trial}"] = bytes(b)
+
+    for name, payload in cases.items():
+        path = tmp_path / f"{name}.npz"
+        path.write_bytes(payload)
+        try:
+            ep = native.load_episode_native(path)
+            # occasionally a bitflip lands in the payload only — data may
+            # differ but structure must stay sane
+            assert all(isinstance(v, np.ndarray) for v in ep.values()), name
+        except (IOError, OSError, ValueError, TypeError, AssertionError):
+            pass  # rejected cleanly — the contract

@@ -239,3 +239,25 @@ def test_full_import_overlays_params(tmp_path):
     got_u = np.asarray(state.connector_params["params"]["aligner"]["down0"]
                        ["Dense_0"]["kernel"])
     np.testing.assert_allclose(got_u, ref_u.T, atol=1e-6)
+
+
+def test_unpickler_stubs_malicious_callables(tmp_path):
+    """The allowlist unpickler must NOT resolve importable gadget classes:
+    a REDUCE of os.system (or builtins.eval) unpickles as an inert stub."""
+    import torch
+
+    from genrl_tpu.utils.torch_import import load_reference_snapshot
+
+    class Evil:
+        def __reduce__(self):
+            import os
+
+            return (os.system, ("echo pwned > " + str(tmp_path / "pwned"),))
+
+    path = tmp_path / "evil.pt"
+    torch.save({"agent": Evil(), "_global_step": 1}, path)
+    payload = load_reference_snapshot(path)
+    assert not (tmp_path / "pwned").exists(), "gadget executed!"
+    # the gadget collapses to a stub instance, counters still readable
+    assert payload["_global_step"] == 1
+    assert type(payload["agent"]).__name__ == "system"
