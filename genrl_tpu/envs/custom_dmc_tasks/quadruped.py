@@ -153,6 +153,18 @@ TASKS = {
     "jump": lambda random: Jump(desired_height=_JUMP_HEIGHT, random=random),
     "roll": lambda random: Roll(desired_speed=_WALK_SPEED, random=random),
     "roll_fast": lambda random: Roll(desired_speed=_RUN_SPEED, random=random),
+    # escape/fetch (reference quadruped.py:74-166) reuse dm_control's own
+    # task classes — the reference file is a dm_control derivative and its
+    # Escape/Fetch rewards are identical to upstream's
+    "escape": lambda random: quadruped.Escape(random=random),
+    "fetch": lambda random: quadruped.Fetch(random=random),
+}
+
+# per-task model generation (reference escape: floor_size=1000 + terrain +
+# rangefinders; fetch: walls_and_ball arena)
+_MODEL_KWARGS = {
+    "escape": dict(floor_size=1000, terrain=True, rangefinders=True),
+    "fetch": dict(walls_and_ball=True),
 }
 
 
@@ -160,7 +172,8 @@ def make(task, task_kwargs=None, environment_kwargs=None, visualize_reward=False
     task_kwargs = dict(task_kwargs or {})
     random = task_kwargs.pop("random", None)
     time_limit = task_kwargs.pop("time_limit", _DEFAULT_TIME_LIMIT)
-    xml_string = quadruped.make_model(floor_size=1000)
+    xml_string = quadruped.make_model(
+        **_MODEL_KWARGS.get(task, dict(floor_size=1000)))
     physics = Physics.from_xml_string(xml_string, common.ASSETS)
     env = control.Environment(physics, TASKS[task](random), time_limit=time_limit,
                               control_timestep=_CONTROL_TIMESTEP,

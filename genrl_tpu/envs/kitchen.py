@@ -54,14 +54,26 @@ BONUS_THRESH = {
     "kettle": 0.3,
 }
 
+# task name -> elements to complete. Single-element tasks are the 7 the
+# reference wires into envs.make (envs/main.py:379-385); the multi-element
+# ones mirror the remaining kitchen_extra.py task classes
+# (KitchenMicrowaveKettleBottomBurnerLightV0 etc., kitchen_extra.py:292-308).
 TASK2ELEMENT = {
-    "microwave": "microwave",
-    "kettle": "kettle",
-    "burner": "bottom burner",
-    "top_burner": "top burner",
-    "light": "light switch",
-    "hinge": "hinge cabinet",
-    "slide": "slide cabinet",
+    "microwave": ("microwave",),
+    "kettle": ("kettle",),
+    "burner": ("bottom burner",),
+    "top_burner": ("top burner",),
+    "light": ("light switch",),
+    "hinge": ("hinge cabinet",),
+    "slide": ("slide cabinet",),
+    "microwave_kettle_burner_light":
+        ("microwave", "kettle", "bottom burner", "light switch"),
+    "microwave_kettle_light_slider":
+        ("microwave", "kettle", "light switch", "slide cabinet"),
+    "kettle_microwave_light_slider":
+        ("kettle", "microwave", "light switch", "slide cabinet"),
+    "all": ("bottom burner", "top burner", "light switch", "slide cabinet",
+            "hinge cabinet", "microwave", "kettle"),
 }
 
 _ASSETS = Path(__file__).resolve().parent / "assets" / "kitchen"
@@ -121,7 +133,7 @@ class FrankaKitchen:
         self._mujoco = mujoco
         self.model = mujoco.MjModel.from_xml_path(str(_MODEL_XML))
         self.data = mujoco.MjData(self.model)
-        self.element = TASK2ELEMENT[task]
+        self.elements = list(TASK2ELEMENT[task])
         self.dense = dense
         self._rng = np.random.default_rng(seed)
         self._size = size
@@ -131,7 +143,7 @@ class FrankaKitchen:
         self.pos_bound, self.vel_bound, self.pos_noise = _read_calibration()
         self.init_qpos = INIT_QPOS.copy()
         self.init_qvel = self.model.key_qvel[0].copy() if self.model.nkey else np.zeros(self.model.nv)
-        self.tasks_to_complete = [self.element]
+        self.tasks_to_complete = list(self.elements)
         self._renderer = None
         self._step_duration = FRAME_SKIP * self.model.opt.timestep
 
@@ -144,7 +156,7 @@ class FrankaKitchen:
         # actuators hold the initial robot pose
         self.data.ctrl[:N_DOF_ROBOT] = self.init_qpos[:N_DOF_ROBOT]
         mujoco.mj_forward(self.model, self.data)
-        self.tasks_to_complete = [self.element]
+        self.tasks_to_complete = list(self.elements)
         return self._get_obs()
 
     def step(self, action):

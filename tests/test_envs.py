@@ -20,7 +20,7 @@ SMOKE_TASKS = [
     "walker_lying_down", "walker_one_foot",
     "cheetah_run", "cheetah_flipping", "cheetah_standing", "cheetah_lying_down",
     "quadruped_walk", "quadruped_run", "quadruped_two_legs", "quadruped_jump",
-    "quadruped_lie_down",
+    "quadruped_lie_down", "quadruped_escape", "quadruped_fetch",
 ]
 
 

@@ -72,3 +72,24 @@ def test_time_limit_wiring():
         if obs["is_last"]:
             break
     assert obs["is_last"]
+
+
+@pytest.mark.parametrize("task", ["kitchen_microwave_kettle_burner_light",
+                                  "kitchen_all"])
+def test_multi_element_tasks(task):
+    """The 4 multi-element task classes (kitchen_extra.py:292-308): dense
+    reward sums negative distances over ALL remaining elements; completion
+    removes elements independently."""
+    env = make_env(task)
+    ts, obs = env.reset()
+    n_elements = len(env.tasks_to_complete)
+    assert n_elements >= 4
+    a = env.act_space["action"].sample()
+    ts, obs = env.step(a)
+    assert np.isfinite(obs["reward"])
+    # dense reward accumulates one -distance term per remaining element, so
+    # it is notably more negative than any single-element task's
+    single = make_env("kitchen_microwave")
+    single.reset()
+    _, obs1 = single.step(a)
+    assert obs["reward"] < obs1["reward"] + 1e-6
