@@ -37,6 +37,9 @@ class Workspace:
         self.work_dir = Path(work_dir or cfg.get("workdir") or "exp_local_collect") / str(cfg.task)
         self.work_dir.mkdir(parents=True, exist_ok=True)
         print(f"workspace: {self.work_dir}")
+        from genrl_tpu.utils.checkpoint import save_run_config
+
+        save_run_config(self.work_dir, cfg)  # search index for snapshot_search_dir
         set_seed_everywhere(int(cfg.seed))
         self.logger = Logger(self.work_dir, use_tb=cfg.use_tb, use_wandb=cfg.use_wandb)
         self.timer = Timer()

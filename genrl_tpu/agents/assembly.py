@@ -193,11 +193,14 @@ class DreamerAgent:
     # ---- behaviors -------------------------------------------------------------------
     def _acting_reward_fn(self, state: AgentState):
         name = self.agent_cfg.get("acting_reward_fn", "env_reward")
-        if name == "env_reward":
+        spec = R.resolve_reward(name)  # loud failure on unknown names
+        if spec.modality == "env":
             return R.env_reward_fn(
                 lambda feat: self.wm.apply(state.wm_params, feat, method="reward_pred")
             )
-        raise NotImplementedError(name)
+        raise NotImplementedError(
+            f"{name}: target-conditioned rewards drive the imag behavior "
+            f"(agent.imag_reward_fn), not the acting one")
 
     def update_acting_behavior(self, state: AgentState, post, is_terminal, key,
                                reward_fn: Optional[Callable] = None):

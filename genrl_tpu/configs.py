@@ -220,6 +220,9 @@ TRAIN_BASE = dict(
     seed_snapshot=None,
     agent_name_snapshot=None,
     snapshot_load_dir=None,
+    # config-matching workdir search (replaces the reference's wandb run
+    # search, train.py:72-133, for zero-egress deployments)
+    snapshot_search_dir=None,
     replay_load_dir=None,
     snapshot_step=None,
     train_from_data=True,

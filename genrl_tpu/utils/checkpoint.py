@@ -92,6 +92,58 @@ class SnapshotManager:
         return self._last().exists() or self._second_last().exists()
 
 
+def _flatten_cfg(d: Dict[str, Any], prefix: str = "") -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for k, v in d.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict):
+            out.update(_flatten_cfg(v, key + "."))
+        else:
+            out[key] = v
+    return out
+
+
+def save_run_config(work_dir, cfg) -> Path:
+    """Persist the composed run config as config.json so later runs can find
+    this workdir by config match (the search index the reference delegated to
+    wandb run metadata, train.py:72-133)."""
+    import json
+
+    d = cfg.to_dict() if hasattr(cfg, "to_dict") else dict(cfg)
+    path = Path(work_dir) / "config.json"
+    path.write_text(json.dumps(d, indent=2, sort_keys=True, default=str))
+    return path
+
+
+def search_snapshot(root, match: Dict[str, Any],
+                    snapshot_step: Optional[int] = None) -> Optional[Path]:
+    """Scan experiment workdirs under `root` for one whose saved config
+    matches every (flat-dotted key -> value) in `match`; return the snapshot
+    path to load (snapshot_{step} if requested, else the last/second_last
+    root). Zero-egress port of the reference's wandb run search
+    (train.py:72-133): same match-then-resolve-workdir semantics, with
+    config.json as the metadata store instead of run.config."""
+    import json
+
+    for cfg_path in sorted(Path(root).glob("**/config.json")):
+        try:
+            flat = _flatten_cfg(json.loads(cfg_path.read_text()))
+        except (OSError, ValueError):
+            continue
+        if not all(flat.get(k) == v for k, v in match.items()):
+            continue
+        snap_root = cfg_path.parent / "snapshots"
+        if snapshot_step is not None:
+            cand = snap_root / f"snapshot_{int(snapshot_step)}"
+            if cand.exists():
+                return cand
+            continue
+        if (snap_root / "last_snapshot").exists() or \
+                (snap_root / "second_last_snapshot").exists():
+            return snap_root
+    return None
+
+
 def apply_resets(agent, loaded_state, key, reset_world_model=False,
                  reset_connector=False, reset_imag_behavior=False):
     """Partial re-initialization on load (reference: train.py:141-157):

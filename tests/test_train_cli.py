@@ -92,3 +92,52 @@ def test_data_free_phase(tmp_path, replay_dir):
     )
     content = (wd / "stickman_walk" / "train.csv").read_text()
     assert "imag_actor_loss" in content
+
+
+def test_reward_registry_dispatch():
+    """REWARD_REGISTRY is the real dispatch: unknown names fail loudly, and
+    each spec routes its modality's embedding path."""
+    from genrl_tpu.rewards import REWARD_REGISTRY, resolve_reward
+
+    with pytest.raises(KeyError, match="unknown reward fn"):
+        resolve_reward("video_txt_reward")  # typo
+    assert resolve_reward("video_text_reward").needs_target
+    assert not resolve_reward("env_reward").needs_target
+
+    class FakeClip:
+        def get_txt_feat(self, prompt):
+            assert prompt == "robot walk fast clean"
+            return np.ones((1, 8), np.float32)
+
+        def get_vid_features_from_file(self, path):
+            raise AssertionError("text spec must not touch video path")
+
+    from genrl_tpu.utils.config import Config
+
+    cfg = Config.from_dict({})
+    emb = REWARD_REGISTRY["video_text_reward"].prompt_embed(
+        FakeClip(), cfg, "stickman_walk")
+    assert emb.shape == (8,)
+    assert REWARD_REGISTRY["env_reward"].prompt_embed(None, cfg, "x") is None
+
+
+def test_snapshot_search_dir(tmp_path, replay_dir):
+    """Config-matching workdir search (the reference's wandb run search,
+    train.py:72-133, re-homed onto config.json files)."""
+    root = tmp_path / "experiments"
+    wd_a = root / "runA"
+    run(["train_world_model=True", "seed=3"], wd_a, replay_dir, n=3)
+    wd_b = root / "runB"  # different seed — must NOT match
+    run(["train_world_model=True", "seed=4"], wd_b, replay_dir, n=3)
+
+    from genrl_tpu.utils.checkpoint import search_snapshot
+
+    found = search_snapshot(root, {"task": "stickman_walk", "seed": 3})
+    assert found is not None and str(wd_a) in str(found)
+    assert search_snapshot(root, {"task": "stickman_walk", "seed": 99}) is None
+
+    # end-to-end: a fresh workspace finds + loads the seed-3 snapshot
+    wd_c = tmp_path / "consumer"
+    run(["train_world_model=True", "seed=3", f"snapshot_search_dir={root}",
+         "agent_name_snapshot=genrl"], wd_c, replay_dir, n=2)
+    assert (wd_c / "stickman_walk" / "train.csv").exists()

@@ -41,6 +41,9 @@ class Workspace:
         self.work_dir = Path(work_dir or cfg.get("workdir") or "exp_local") / str(cfg.task)
         self.work_dir.mkdir(parents=True, exist_ok=True)
         print(f"workspace: {self.work_dir}")
+        from genrl_tpu.utils.checkpoint import save_run_config
+
+        save_run_config(self.work_dir, cfg)  # search index for snapshot_search_dir
         set_seed_everywhere(int(cfg.seed))
         self.logger = Logger(self.work_dir, use_tb=cfg.use_tb, use_wandb=cfg.use_wandb)
         self.timer = Timer()
@@ -116,6 +119,42 @@ class Workspace:
                 cfg.torch_snapshot_path, self.agent, template)
             print(f"imported reference torch snapshot {cfg.torch_snapshot_path} "
                   f"(step {counters['step']})")
+        elif cfg.get("snapshot_search_dir"):
+            # config-matching workdir search — the zero-egress equivalent of
+            # the reference's wandb run search (train.py:72-133): same match
+            # keys (task/seed/agent + connector noise params), resolved
+            # against config.json files instead of wandb run metadata
+            from genrl_tpu.utils.checkpoint import SnapshotManager as SM
+            from genrl_tpu.utils.checkpoint import search_snapshot
+
+            match = {
+                "task": str(cfg.get("task_snapshot") or cfg.task),
+                "seed": int(cfg.seed if cfg.get("seed_snapshot") is None
+                            else cfg.seed_snapshot),
+                "agent.name": str(cfg.get("agent_name_snapshot") or cfg.agent.name),
+            }
+            if float(cfg.agent.get("clip_lafite_noise", 0.0)) > 0:
+                match["agent.clip_lafite_noise"] = float(cfg.agent.clip_lafite_noise)
+            if (float(cfg.agent.get("clip_add_noise", 0.0)) > 0
+                    and not cfg.get("reset_connector", False)):
+                match["agent.clip_add_noise"] = float(cfg.agent.clip_add_noise)
+            found = search_snapshot(cfg.snapshot_search_dir, match,
+                                    cfg.get("snapshot_step"))
+            if found is None:
+                raise SystemExit(
+                    f"no workdir matching {match} under {cfg.snapshot_search_dir}")
+            if found.name.startswith("snapshot_"):
+                loaded = SM(found.parent).load(template, path=found)
+            else:
+                loaded = SM(found).load(template)
+            state, _ = loaded
+            state = apply_resets(
+                self.agent, state, jax.random.PRNGKey(int(cfg.seed) + 1),
+                reset_world_model=cfg.get("reset_world_model", False),
+                reset_connector=cfg.get("reset_connector", False),
+                reset_imag_behavior=cfg.get("reset_imag_behavior", False),
+            )
+            print(f"loaded snapshot via config search: {found}")
         elif cfg.get("snapshot_load_dir"):
             from genrl_tpu.utils.checkpoint import SnapshotManager as SM
 
@@ -170,17 +209,12 @@ class Workspace:
         if path:
             emb = np.load(path).reshape(-1).astype(np.float32)
             return emb / max(np.linalg.norm(emb), 1e-8)
-        from genrl_tpu.rewards import TASK2PROMPT, TASK2VIDEO
-
-        reward_fn = cfg.agent.get("imag_reward_fn")
         from genrl_tpu.models.internvideo2 import get_global_instance
+        from genrl_tpu.rewards import resolve_reward
 
+        spec = resolve_reward(cfg.agent.get("imag_reward_fn"))
         clip = get_global_instance(cfg.get("viclip_model", "internvideo2"))
-        if reward_fn == "video_video_reward":
-            video_path = cfg.get("task_video") or TASK2VIDEO[cfg.task]
-            return np.asarray(clip.get_vid_features_from_file(video_path)).reshape(-1)
-        prompt = cfg.get("task_prompt") or TASK2PROMPT[cfg.task]
-        return np.asarray(clip.get_txt_feat(prompt)).reshape(-1)
+        return spec.prompt_embed(clip, cfg, cfg.task)
 
     # ---- eval --------------------------------------------------------------------------
     def _eval_env(self):
