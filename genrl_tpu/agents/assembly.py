@@ -429,17 +429,23 @@ class GenRLAgent(DreamerAgent):
         a single jitted program."""
         k1, k2, k3 = jax.random.split(key, 3)
         metrics = {}
+        # named scopes label the phases in jax.profiler traces / HLO
+        # (SURVEY.md §5.1 rebuild plan)
         if train_world_model:
-            state, outs, metrics = self.wm_train_step(state, data, k1)
+            with jax.named_scope("wm_update"):
+                state, outs, metrics = self.wm_train_step(state, data, k1)
         else:
-            outs, metrics = self.observe_data(state, data, k1)
+            with jax.named_scope("wm_observe"):
+                outs, metrics = self.observe_data(state, data, k1)
         if train_connector and not self._finetune:
-            state, mets = self.connector_train_step(state, data, outs["post"], k2)
+            with jax.named_scope("connector_update"):
+                state, mets = self.connector_train_step(state, data, outs["post"], k2)
             metrics.update(mets)
         if target_seq is not None:
-            state, mets = self.update_imag_behavior(
-                state, jax.tree_util.tree_map(sg, outs["post"]), outs["is_terminal"], target_seq, k3
-            )
+            with jax.named_scope("behavior_update"):
+                state, mets = self.update_imag_behavior(
+                    state, jax.tree_util.tree_map(sg, outs["post"]),
+                    outs["is_terminal"], target_seq, k3)
             metrics.update(mets)
         return state, metrics
 

@@ -90,22 +90,27 @@ class ViCLIP:
             lambda p, ids, mask: self.model.apply(p, ids, mask, method="get_txt_feat"))
 
     def _random_init(self):
-        from genrl_tpu.models.internvideo2 import preprocess_frames
+        # shape-only init: jax.eval_shape traces without compute — a real
+        # model.init would EXECUTE the full 1B forward (minutes on a 1-core
+        # host); random-weight mode only needs shape-true params
+        frames = jax.ShapeDtypeStruct(
+            (1, self.n_frames, self._vision_cfg["img_size"],
+             self._vision_cfg["img_size"], 3), jnp.float32)
+        ids = jax.ShapeDtypeStruct((1, 8), jnp.int32)
+        mask = jax.ShapeDtypeStruct((1, 8), jnp.int32)
+        shapes = jax.eval_shape(self.model.init, jax.random.PRNGKey(0),
+                                frames, ids, mask)
+        rng = np.random.default_rng(0)
 
-        cpu = None
-        try:
-            cpu = jax.local_devices(backend="cpu")[0]
-        except RuntimeError:
-            pass
-        frames = jnp.zeros((1, self.n_frames,
-                            self._vision_cfg["img_size"], self._vision_cfg["img_size"], 3))
-        ids = jnp.zeros((1, 8), jnp.int32)
-        mask = jnp.ones((1, 8), jnp.int32)
-        init = lambda: self.model.init(jax.random.PRNGKey(0), frames, ids, mask)
-        if cpu is not None:
-            with jax.default_device(cpu):
-                return init()
-        return init()
+        def materialize(path, s):
+            name = str(path[-1].key) if path else ""
+            if name in ("bias",) or "norm" in str(path).lower():
+                base = np.zeros(s.shape) if name == "bias" else np.ones(s.shape)
+            else:
+                base = rng.normal(0.0, 0.02, s.shape)
+            return jnp.asarray(base, s.dtype)
+
+        return jax.tree_util.tree_map_with_path(materialize, shapes)
 
     # ---- public surface ------------------------------------------------------
     def preprocess_transf(self, frames: np.ndarray) -> jax.Array:

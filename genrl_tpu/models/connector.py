@@ -266,18 +266,26 @@ class VideoSSM(RSSM):
             init[self.cell_input] = dreamer_init[self.cell_input]
 
         if reset_every_n_frames:
-            num_chunks = T // n
-            chunk_keys = jax.random.split(key_roll, num_chunks)
-            prior_states = None
-            for c in range(num_chunks):
-                chunk = action[:, c * n : (c + 1) * n]
-                prior = self.imagine(chunk, chunk_keys[c], init, sample=sample)
-                prior_states = (
-                    {k: [v] for k, v in prior.items()}
-                    if prior_states is None
-                    else {k: prior_states[k] + [v] for k, v in prior.items()}
-                )
-                init = self.initial(B)
-                init[self.cell_input] = prior[self.cell_input][:, -1]
-            return {k: jnp.concatenate(v, axis=1) for k, v in prior_states.items()}
+            # single scan over T with a carry reset at each n-frame boundary
+            # (reference: the chunked python loop video_utils.py:223-237; a
+            # per-chunk scan would unroll T/n programs and blow up compile
+            # time for long t2v durations) — at a boundary the carry becomes
+            # a fresh zero state except cell_input, which carries over
+            keys = jax.random.split(key_roll, T)
+            t = jnp.arange(T)
+            reset = (t % n == 0) & (t > 0)
+
+            def step(mod, carry, x):
+                a, k, r = x
+                zero = mod.initial(a.shape[0])
+                prev = {kk: vv if kk == mod.cell_input else jnp.where(r, zero[kk], vv)
+                        for kk, vv in carry.items() if kk in zero}
+                prev[mod.cell_input] = carry[mod.cell_input]
+                prior = mod.img_step(prev, a, k, sample)
+                return prior, prior
+
+            scan = nn.scan(step, variable_broadcast="params",
+                           split_rngs={"params": False}, in_axes=0, out_axes=0)
+            _, priors = scan(self, init, (swap_bt(action), keys, reset))
+            return {k: swap_bt(v) for k, v in priors.items()}
         return self.imagine(action, key_roll, init, sample=sample)

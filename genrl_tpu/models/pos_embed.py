@@ -78,16 +78,14 @@ def interpolate_temporal_pos_embed(pos_embed: np.ndarray, src_t: int, dst_t: int
         cls_tok, grid = pos_embed[:0], pos_embed
     d = grid.shape[-1]
     grid = grid.reshape(src_t, num_spatial, d)
-    # linear interpolation along the temporal axis
-    src_pos = np.linspace(0, 1, src_t)
-    dst_pos = np.linspace(0, 1, dst_t)
-    out = np.empty((dst_t, num_spatial, d), grid.dtype)
-    for s in range(num_spatial):
-        for c_start in range(0, d, 512):  # chunk to bound memory
-            c = slice(c_start, min(c_start + 512, d))
-            out[:, s, c] = np.stack(
-                [np.interp(dst_pos, src_pos, grid[:, s, c][:, i]) for i in range(grid[:, s, c].shape[-1])],
-                axis=-1,
-            )
+    # torch F.interpolate(mode='linear', align_corners=False) semantics
+    # (half-pixel source coordinates, edge-clamped) — the reference applies
+    # exactly this along time (pos_embed.py:205-215)
+    x = (np.arange(dst_t, dtype=np.float64) + 0.5) * (src_t / dst_t) - 0.5
+    x = np.clip(x, 0.0, src_t - 1.0)
+    lo = np.floor(x).astype(np.int64)
+    hi = np.minimum(lo + 1, src_t - 1)
+    w = (x - lo).astype(grid.dtype)[:, None, None]
+    out = grid[lo] * (1.0 - w) + grid[hi] * w
     out = out.reshape(dst_t * num_spatial, d)
     return np.concatenate([cls_tok, out], axis=0).astype(pos_embed.dtype)

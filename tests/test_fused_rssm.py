@@ -89,6 +89,42 @@ def test_fused_connector_update_matches_general():
                                float(mets_g["connector_kl"]), atol=1e-4)
 
 
+def test_video_imagine_reset_scan_matches_chunked():
+    """video_imagine(reset_every_n_frames=True) is one lax.scan with a carry
+    reset at chunk boundaries; in deterministic mode it must exactly equal
+    the manually-chunked rollout (reference semantics video_utils.py:223-237)."""
+    rng = np.random.default_rng(3)
+    emb_dim, n, T_long = 8, 2, 8
+    kw = dict(action_dim=emb_dim + n, embed_dim=emb_dim, ensemble=1, stoch=4,
+              deter=16, hidden=16, discrete=4, norm="layer", has_posterior=False,
+              cell_input="stoch", n_frames=n, denoising_ae=False,
+              clip_lafite_noise=0.0, learn_initial=True)
+    mod = VideoSSM(**kw)
+    video_embed = jnp.asarray(rng.normal(size=(B, T_long, emb_dim)), jnp.float32)
+    params = mod.init(jax.random.PRNGKey(0), video_embed, jax.random.PRNGKey(1),
+                      sample=False, reset_every_n_frames=True,
+                      method="video_imagine")
+
+    out = mod.apply(params, video_embed, jax.random.PRNGKey(2), sample=False,
+                    reset_every_n_frames=True, method="video_imagine")
+
+    # manual chunked rollout (the reference's python loop)
+    action = mod.apply(params, video_embed, method="get_action")
+    init = mod.apply(params, B, action[:, 0], jax.random.PRNGKey(2),
+                     False, method="initial_learned")
+    chunks = []
+    for c in range(T_long // n):
+        prior = mod.apply(params, action[:, c * n:(c + 1) * n],
+                          jax.random.PRNGKey(9), init, False, method="imagine")
+        chunks.append(prior)
+        init = mod.initial(B)
+        init["stoch"] = prior["stoch"][:, -1]
+    ref = {k: jnp.concatenate([c[k] for c in chunks], 1) for k in chunks[0]}
+    for k in ("deter", "stoch", "logit"):
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
+                                   atol=1e-5, err_msg=k)
+
+
 def test_fused_observe_dispatch_flag(rssm_setup):
     """fused=False forces the general path; results stay deterministic-equal."""
     mod, params, embed, action, is_first = rssm_setup

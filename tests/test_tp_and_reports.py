@@ -34,6 +34,70 @@ def test_iv2_tensor_parallel_forward():
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
 
 
+def test_vit_6b_tp_shardings_shape_level():
+    """The 6B scale-out path at shape level (VIT_6B is reference
+    internvideo2.py:726-761): eval_shape the full 6B param tree — no
+    materialization — and assert every model-axis-sharded kernel dimension
+    divides by the mesh axis, so device_put/pjit would place it exactly."""
+    from jax.sharding import PartitionSpec as P
+
+    from genrl_tpu.models.clip_wrapper import VIT_6B
+    from genrl_tpu.models.internvideo2 import InternVideo2ViT, iv2_param_shardings
+    from genrl_tpu.parallel import make_mesh
+
+    mesh = make_mesh(data=1, model=8)
+    vit = InternVideo2ViT(use_flash=False, **VIT_6B)
+    x = jax.ShapeDtypeStruct((1, VIT_6B["num_frames"], 224, 224, 3), jnp.float32)
+    shapes = jax.eval_shape(vit.init, jax.random.PRNGKey(0), x)
+
+    n_params = sum(int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(shapes))
+    assert n_params > 5.5e9, f"6B tower should have >5.5B params, got {n_params/1e9:.2f}B"
+
+    shardings = iv2_param_shardings(shapes, mesh)
+    n_model_sharded = 0
+    for (path, leaf), (_, sh) in zip(
+            jax.tree_util.tree_leaves_with_path(shapes),
+            jax.tree_util.tree_leaves_with_path(shardings)):
+        spec = sh.spec
+        for dim, axis in enumerate(spec):
+            if axis is None:
+                continue
+            size = mesh.shape[axis]
+            assert leaf.shape[dim] % size == 0, (
+                f"{jax.tree_util.keystr(path)}: dim {dim} ({leaf.shape[dim]}) "
+                f"not divisible by mesh axis {axis} ({size})")
+            n_model_sharded += 1
+    # 48 blocks x (qkv/proj/fc1/fc2 kernels + fc1 bias; qkv has no bias)
+    assert n_model_sharded >= 48 * 5
+    # spot-check the megatron pattern
+    qkv = shardings["params"]["blocks_0"]["attn"]["qkv"]["kernel"].spec
+    fc2 = shardings["params"]["blocks_0"]["mlp"]["fc2"]["kernel"].spec
+    assert qkv == P(None, "model") and fc2 == P("model", None)
+
+
+def test_vit_6b_proportional_tp_forward():
+    """End-to-end TP forward at 6B-proportional toy scale: same head count
+    (25 — NOT divisible by the model axis, like the real 6B tower) and
+    mlp_ratio; XLA must insert the TP collectives and still match the
+    replicated result."""
+    from genrl_tpu.models.internvideo2 import InternVideo2ViT, iv2_param_shardings
+    from genrl_tpu.parallel import make_mesh, replicated
+
+    mesh = make_mesh(data=2, model=4)
+    vit = InternVideo2ViT(img_size=28, patch_size=14, embed_dim=400, depth=2,
+                          num_heads=25, mlp_ratio=4.0, num_frames=2,
+                          clip_embed_dim=16, attn_pool_num_heads=25,
+                          sep_image_video_pos_embed=True, use_flash=False)
+    x = np.float32(np.random.default_rng(1).normal(size=(2, 2, 28, 28, 3)))
+    params = vit.init(jax.random.PRNGKey(1), jnp.asarray(x))
+    ref = np.asarray(vit.apply(params, jnp.asarray(x)))
+
+    params_tp = jax.device_put(params, iv2_param_shardings(params, mesh))
+    out = jax.jit(vit.apply)(params_tp, jax.device_put(jnp.asarray(x),
+                                                       replicated(mesh)))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
+
+
 def test_report_text2video(tmp_path):
     from genrl_tpu.agents.assembly import GenRLAgent
     from genrl_tpu.configs import TRAIN_BASE

@@ -363,7 +363,18 @@ class Workspace:
         eval_every = Every(int(cfg.eval_every_frames), 1)
         visual_every = Every(int(cfg.visual_every_frames), 1)
         metrics = {}
+        # profile=True captures a jax.profiler trace of steps 20..30 (past
+        # compilation) into <work_dir>/profile — phases appear as the
+        # named_scope labels from GenRLAgent.train_step (SURVEY.md §5.1)
+        profile = bool(cfg.get("profile", False))
+        prof_start, prof_stop = 20, 30
         while train_until(self.global_step):
+            if profile and self.global_step == prof_start:
+                jax.profiler.start_trace(str(self.work_dir / "profile"))
+            if profile and self.global_step == prof_stop:
+                jax.device_get(metrics)  # drain the dispatch queue first
+                jax.profiler.stop_trace()
+                print(f"profile trace written to {self.work_dir / 'profile'}")
             if self.global_step > 0 and eval_every(self.global_step):
                 if cfg.get("eval_modality") == "task":
                     self.eval(use_imag=False)
@@ -374,12 +385,13 @@ class Workspace:
                     self.report_visuals()
                 except Exception as e:
                     print(f"report_visuals failed: {e}")
-            if cfg.get("train_from_data", True):
-                batch = None if self.device_replay is not None else next(self.replay_iter)
-                self.state, metrics = step_fn(self.state, batch, target,
-                                              self.global_step)
-            else:
-                self.state, metrics = data_free_fn(self.state, target, self._next_key())
+            with jax.profiler.StepTraceAnnotation("train", step_num=self.global_step):
+                if cfg.get("train_from_data", True):
+                    batch = None if self.device_replay is not None else next(self.replay_iter)
+                    self.state, metrics = step_fn(self.state, batch, target,
+                                                  self.global_step)
+                else:
+                    self.state, metrics = data_free_fn(self.state, target, self._next_key())
 
             self.global_step += 1
             if self.global_step > 0 and should_log(self.global_step):
