@@ -24,8 +24,9 @@ import numpy as np
 
 REFERENCE_GRAD_STEPS_PER_SEC = 13.0  # documented estimate, see module docstring
 BATCH, LENGTH = 16, 16
-WARMUP_STEPS = 3
-MEASURE_STEPS = 50
+CHUNK = 10  # grad steps per dispatched program (lax.scan inside the jit)
+WARMUP_STEPS = 10
+MEASURE_STEPS = 100
 
 
 def main():
@@ -57,30 +58,38 @@ def main():
     state = init_on_host(agent, jax.random.PRNGKey(0))
     state = shard_params(state, mesh)
 
-    def fused_step(s, arrays, ep_len, k):
-        k_sample, k_train = jax.random.split(k)
-        batch = sample_windows(arrays, ep_len, k_sample, BATCH, LENGTH, out_sharding)
+    base_key = jax.random.PRNGKey(1)
+
+    def body(s, i):
+        k_sample, k_train = jax.random.split(jax.random.fold_in(base_key, i))
+        batch = sample_windows(replay.arrays, replay.ep_len, k_sample,
+                               BATCH, LENGTH, out_sharding)
         return agent.train_step(s, batch, k_train, target_seq=None,
                                 train_world_model=True, train_connector=True)
 
-    # donate the train state: avoids whole param/opt pytree copies every step
-    # (measured 10.9 -> 7.9 ms/step on v5e)
-    step = jax.jit(fused_step, donate_argnums=(0,))
+    # CHUNK grad steps per dispatch as one lax.scan program (matches
+    # train.py's steps_per_dispatch): the per-dispatch host/RTT cost is paid
+    # once per chunk, not once per grad step. State donation avoids whole
+    # param/opt pytree copies (measured 10.9 -> 7.9 ms/step on v5e).
+    def chunk(s, step0):
+        s, ms = jax.lax.scan(body, s, step0 + jax.numpy.arange(CHUNK))
+        return s, ms
 
-    keys = jax.random.split(jax.random.PRNGKey(1), WARMUP_STEPS + MEASURE_STEPS)
-    for i in range(WARMUP_STEPS):
-        state, metrics = step(state, replay.arrays, replay.ep_len, keys[i])
-    float(np.asarray(metrics["model_loss"]))  # full sync (block_until_ready
+    step = jax.jit(chunk, donate_argnums=(0,))
+
+    for i in range(0, WARMUP_STEPS, CHUNK):
+        state, metrics = step(state, i)
+    float(np.asarray(metrics["model_loss"][-1]))  # full sync (block_until_ready
     # does not reliably synchronize through a remote-TPU tunnel)
 
     t0 = time.perf_counter()
-    for i in range(MEASURE_STEPS):
-        state, metrics = step(state, replay.arrays, replay.ep_len, keys[WARMUP_STEPS + i])
-    float(np.asarray(metrics["model_loss"]))  # forces completion of the chain
+    for i in range(WARMUP_STEPS, WARMUP_STEPS + MEASURE_STEPS, CHUNK):
+        state, metrics = step(state, i)
+    float(np.asarray(metrics["model_loss"][-1]))  # forces completion of the chain
     dt = time.perf_counter() - t0
 
     steps_per_sec = MEASURE_STEPS / dt
-    assert np.isfinite(float(metrics["model_loss"]))
+    assert np.isfinite(float(np.asarray(metrics["model_loss"][-1])))
     print(json.dumps({
         "metric": "wm_connector_grad_steps_per_sec",
         "value": round(steps_per_sec, 3),

@@ -90,38 +90,35 @@ class Workspace:
         self._jit_policy = jax.jit(self.agent.policy_step,
                                    static_argnames=("eval_mode",))
         self._jit_train = jax.jit(self.agent.train_step, donate_argnums=(0,))
-        self._eval_env = None
+        self._eval_pool = None
 
     # ---- eval (reference: collect_data.py eval loop, eval_modality='task') ----
     def eval(self):
+        """Batched lockstep eval: one policy call per timestep serves all
+        num_eval_episodes (utils/evaluation.py)."""
         from genrl_tpu import envs
+        from genrl_tpu.utils.evaluation import EvalEnvPool
         from genrl_tpu.utils.task_scores import MAX, normalized_score
 
         cfg = self.cfg
-        if self._eval_env is None:
-            self._eval_env = envs.make(
-                cfg.task, cfg.obs_type, int(cfg.action_repeat),
-                int(cfg.seed) + 1000, img_size=int(cfg.img_size))
-            if hasattr(self._eval_env, "eval_mode"):
-                self._eval_env.eval_mode()
-        rewards = []
-        steps = 0
-        for _ in range(int(cfg.num_eval_episodes)):
-            ts, obs = self._eval_env.reset()
-            carry = self.agent.init_policy_carry(1)
-            total = 0.0
-            while not obs["is_last"]:
-                action, carry = self._jit_policy(
-                    self.state, self._obs_to_model(obs), carry,
-                    self._next_key(), eval_mode=True)
-                ts, obs = self._eval_env.step(np.asarray(action[0]))
-                total += obs["reward"]
-                steps += 1
-            rewards.append(total)
+        if self._eval_pool is None:
+            def make(i):
+                env = envs.make(
+                    cfg.task, cfg.obs_type, int(cfg.action_repeat),
+                    int(cfg.seed) + 1000 + i, img_size=int(cfg.img_size))
+                if hasattr(env, "eval_mode"):
+                    env.eval_mode()
+                return env
+
+            self._eval_pool = EvalEnvPool(make, int(cfg.num_eval_episodes))
+        rewards, lengths = self._eval_pool.rollout(
+            lambda o, c, k: self._jit_policy(self.state, o, c, k,
+                                             eval_mode=True),
+            self.agent.init_policy_carry, self._next_key)
         mean_reward = float(np.mean(rewards))
         with self.logger.log_and_dump_ctx(self.global_step, ty="eval") as log:
             log("episode_reward", mean_reward)
-            log("episode_length", steps * int(cfg.action_repeat) / max(1, len(rewards)))
+            log("episode_length", float(np.mean(lengths)) * int(cfg.action_repeat))
             log("step", self.global_step)
             if cfg.task in MAX:
                 log("normalized_score", normalized_score(cfg.task, mean_reward))

@@ -197,6 +197,9 @@ TRAIN_BASE = dict(
     snapshot_dir="snapshots",
     snapshot_every_frames=50_000,
     save_every_frames=1000,
+    # grad steps fused into one dispatched program (lax.scan in the train jit)
+    # on the fully on-device paths; amortizes host dispatch / remote-link RTT
+    steps_per_dispatch=8,
     seed=1,
     device="tpu",
     use_tb=False,

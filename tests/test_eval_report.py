@@ -23,8 +23,52 @@ TINY = [
     "img_size=16", "+act_dim=6", "replay.minlen=16", "replay.maxlen=16",
     "+viclip_emb_dim=32", "+n_frames=4",
     "log_every_frames=2", "save_every_frames=1000", "snapshot_every_frames=1000",
-    "task=walker_walk", "num_eval_episodes=1", "action_repeat=4",
+    "task=walker_walk", "num_eval_episodes=2", "action_repeat=4",
 ]
+
+
+class _FakeEnv:
+    """Fixed-length episode emitting index-valued rewards."""
+
+    def __init__(self, length, idx):
+        self.length, self.idx, self.t = length, idx, 0
+
+    def reset(self):
+        self.t = 0
+        return None, self._obs(is_first=True)
+
+    def step(self, action):
+        assert action.shape == (2,)
+        self.t += 1
+        return None, self._obs()
+
+    def _obs(self, is_first=False):
+        return {
+            "observation": np.zeros((3, 8, 8), np.uint8),
+            "reward": float(self.idx),
+            "is_first": is_first,
+            "is_last": self.t >= self.length,
+            "is_terminal": False,
+        }
+
+
+def test_eval_pool_lockstep_masking():
+    """Episodes of different lengths: finished envs stop accumulating and
+    stop being stepped, while the batch shape stays static."""
+    from genrl_tpu.utils.evaluation import EvalEnvPool
+
+    pool = EvalEnvPool(lambda i: _FakeEnv(length=3 + 2 * i, idx=i + 1), 3)
+    calls = []
+
+    def policy(obs, carry, key):
+        assert obs["observation"].shape == (3, 8, 8, 3)
+        calls.append(1)
+        return np.zeros((3, 2), np.float32), carry
+
+    rewards, lengths = pool.rollout(policy, lambda n: None, lambda: None)
+    assert list(lengths) == [3, 5, 7]
+    assert list(rewards) == [3.0, 10.0, 21.0]
+    assert len(calls) == 7  # longest episode bounds the lockstep loop
 
 
 @pytest.fixture(scope="module")

@@ -217,60 +217,50 @@ class Workspace:
         return spec.prompt_embed(clip, cfg, cfg.task)
 
     # ---- eval --------------------------------------------------------------------------
-    def _eval_env(self):
-        if getattr(self, "_eval_env_cache", None) is None:
+    def _eval_pool(self):
+        if getattr(self, "_eval_pool_cache", None) is None:
             from genrl_tpu import envs
+            from genrl_tpu.utils.evaluation import EvalEnvPool
 
-            self._eval_env_cache = envs.make(
-                self.cfg.task, self.cfg.get("obs_type", "pixels"),
-                int(self.cfg.action_repeat), int(self.cfg.seed) + 1000,
-                img_size=int(self.cfg.img_size))
-            if hasattr(self._eval_env_cache, "eval_mode"):
-                # kitchen evaluates sparse with early stop (envs/main.py:393-395)
-                self._eval_env_cache.eval_mode()
-        return self._eval_env_cache
+            def make(i):
+                env = envs.make(
+                    self.cfg.task, self.cfg.get("obs_type", "pixels"),
+                    int(self.cfg.action_repeat), int(self.cfg.seed) + 1000 + i,
+                    img_size=int(self.cfg.img_size))
+                if hasattr(env, "eval_mode"):
+                    # kitchen evaluates sparse with early stop (envs/main.py:393-395)
+                    env.eval_mode()
+                return env
+
+            self._eval_pool_cache = EvalEnvPool(
+                make, int(self.cfg.num_eval_episodes))
+        return self._eval_pool_cache
 
     def eval(self, use_imag: bool = False):
         """Env-rollout evaluation with the acting (or imag) policy
-        (reference: Workspace.eval / eval_imag_behavior, train.py:196-250)."""
+        (reference: Workspace.eval / eval_imag_behavior, train.py:196-250).
+        All num_eval_episodes run in lockstep: one jitted policy call per env
+        timestep serves the whole batch (utils/evaluation.py)."""
         import jax
 
         from genrl_tpu.agents.assembly import GenRLAgent
         from genrl_tpu.utils.task_scores import MAX, normalized_score
 
-        env = self._eval_env()
+        pool = self._eval_pool()
         if isinstance(self.agent, GenRLAgent):
             pol = jax.jit(lambda s, o, c, k: self.agent.policy_step(
                 s, o, c, k, eval_mode=True, use_imag=use_imag))
         else:
             pol = jax.jit(lambda s, o, c, k: self.agent.policy_step(
                 s, o, c, k, eval_mode=True))
-        rewards = []
-        steps = 0
-        for ep in range(int(self.cfg.num_eval_episodes)):
-            ts, obs = env.reset()
-            carry = self.agent.init_policy_carry(1)
-            total = 0.0
-            while not obs["is_last"]:
-                img = obs["observation"]
-                if img.ndim == 3 and img.shape[0] in (1, 3):
-                    img = np.transpose(img, (1, 2, 0))
-                model_obs = {
-                    "observation": img[None],
-                    "is_first": np.asarray([obs["is_first"]]),
-                    "is_terminal": np.asarray([obs["is_terminal"]]),
-                    "reward": np.asarray([[np.float32(obs["reward"] or 0.0)]]),
-                }
-                action, carry = pol(self.state, model_obs, carry, self._next_key())
-                ts, obs = env.step(np.asarray(action[0]))
-                total += obs["reward"]
-                steps += 1
-            rewards.append(total)
+        rewards, lengths = pool.rollout(
+            lambda o, c, k: pol(self.state, o, c, k),
+            self.agent.init_policy_carry, self._next_key)
         mean_reward = float(np.mean(rewards))
         with self.logger.log_and_dump_ctx(self.global_step, ty="eval") as log:
             log("episode_reward", mean_reward)
-            log("episode_length", steps * int(self.cfg.action_repeat)
-                / max(1, len(rewards)))
+            log("episode_length", float(np.mean(lengths))
+                * int(self.cfg.action_repeat))
             log("step", self.global_step)
             if self.cfg.task in MAX:
                 log("normalized_score", normalized_score(self.cfg.task, mean_reward))
@@ -336,29 +326,63 @@ class Workspace:
                 dr = self.device_replay
                 bs = self.batch_sharding if self.mesh.shape["data"] > 1 else None
 
-                def fused(s, arrays, ep_len, base, step):
-                    k1, k2 = jax.random.split(jax.random.fold_in(base, step))
-                    d = sample_windows(arrays, ep_len, k1, int(cfg.batch_size),
-                                       int(cfg.batch_length), bs)
-                    return agent_step(s, d, k2)
+                # Multi-step dispatch: K fused sample+update steps run as ONE
+                # lax.scan inside ONE jitted program. The per-step host
+                # dispatch (~a few ms on a slow host, a full RTT on a remote
+                # TPU link) is paid once per chunk instead of once per grad
+                # step — the device profile shows 5 ms/step of compute, so at
+                # K=8 the host has 40 ms of slack per dispatch. Metrics are
+                # averaged over the chunk.
+                def make_fused(n):
+                    def body(s, i):
+                        k1, k2 = jax.random.split(jax.random.fold_in(
+                            base_key, i))
+                        d = sample_windows(dr.arrays, dr.ep_len, k1,
+                                           int(cfg.batch_size),
+                                           int(cfg.batch_length), bs)
+                        return agent_step(s, d, k2)
 
-                fused_jit = jax.jit(fused, donate_argnums=(0,))
-                step_fn = lambda s, d, t, i: fused_jit(s, dr.arrays, dr.ep_len,
-                                                       base_key, i)
+                    def fused(s, step0):
+                        s, ms = jax.lax.scan(body, s, step0 + jax.numpy.arange(n))
+                        return s, jax.tree_util.tree_map(
+                            lambda x: jax.numpy.mean(
+                                x.astype(jax.numpy.float32), 0), ms)
+
+                    return jax.jit(fused, donate_argnums=(0,))
+
+                chunk_jits = {}
+                step_fn = lambda s, d, t, i, n=1: chunk_jits.setdefault(
+                    n, make_fused(n))(s, i)
             else:
                 plain_jit = jax.jit(
                     lambda s, d, base, step: agent_step(
                         s, d, jax.random.fold_in(base, step)),
                     donate_argnums=(0,))
-                step_fn = lambda s, d, t, i: plain_jit(s, d, base_key, i)
+                step_fn = lambda s, d, t, i, n=1: plain_jit(s, d, base_key, i)
         data_free_fn = None
         if not cfg.get("train_from_data", True):
-            data_free_fn = jax.jit(
-                lambda s, t, k: self.agent.train_step_data_free(
-                    s, k, t, int(cfg.batch_size), int(cfg.batch_length),
-                    cfg.get("start_from_video", "mix"),
-                    bool(cfg.get("mix_random_actions", True)),
-                    int(cfg.get("imag_warmup_steps", 5))), donate_argnums=(0,))
+            df_base = jax.random.PRNGKey(int(cfg.seed) + 4321)
+
+            def make_data_free(n):
+                def body(s, i):
+                    return self.agent.train_step_data_free(
+                        s, jax.random.fold_in(df_base, i), target,
+                        int(cfg.batch_size), int(cfg.batch_length),
+                        cfg.get("start_from_video", "mix"),
+                        bool(cfg.get("mix_random_actions", True)),
+                        int(cfg.get("imag_warmup_steps", 5)))
+
+                def fused(s, step0):
+                    s, ms = jax.lax.scan(body, s, step0 + jax.numpy.arange(n))
+                    return s, jax.tree_util.tree_map(
+                        lambda x: jax.numpy.mean(
+                            x.astype(jax.numpy.float32), 0), ms)
+
+                return jax.jit(fused, donate_argnums=(0,))
+
+            df_jits = {}
+            data_free_fn = lambda s, i, n=1: df_jits.setdefault(
+                n, make_data_free(n))(s, i)
 
         eval_every = Every(int(cfg.eval_every_frames), 1)
         visual_every = Every(int(cfg.visual_every_frames), 1)
@@ -368,6 +392,30 @@ class Workspace:
         # named_scope labels from GenRLAgent.train_step (SURVEY.md §5.1)
         profile = bool(cfg.get("profile", False))
         prof_start, prof_stop = 20, 30
+
+        # dispatch chunking only on the fully on-device paths (device-resident
+        # replay / data-free); the streaming path needs a host batch per step
+        on_device = self.device_replay is not None or not cfg.get(
+            "train_from_data", True)
+        max_chunk = max(1, int(cfg.get("steps_per_dispatch", 8))) if on_device else 1
+        periods = [int(cfg.log_every_frames), int(cfg.eval_every_frames),
+                   int(cfg.visual_every_frames), int(cfg.save_every_frames),
+                   snapshot_every, 1000]  # 1000: the fixed early snapshot
+        limit = int(cfg.num_train_frames)  # train.py frames == steps (Until(x, 1))
+
+        def chunk_len(step):
+            """Largest K <= max_chunk that does not skip a log/eval/save/
+            snapshot/profile boundary (Every fires on exact multiples)."""
+            gap = limit - step
+            for p in periods:
+                if p:
+                    gap = min(gap, p - step % p)
+            if profile:
+                for b in (prof_start, prof_stop):
+                    if step < b:
+                        gap = min(gap, b - step)
+            return max(1, min(max_chunk, gap))
+
         while train_until(self.global_step):
             if profile and self.global_step == prof_start:
                 jax.profiler.start_trace(str(self.work_dir / "profile"))
@@ -385,15 +433,17 @@ class Workspace:
                     self.report_visuals()
                 except Exception as e:
                     print(f"report_visuals failed: {e}")
+            n = chunk_len(self.global_step)
             with jax.profiler.StepTraceAnnotation("train", step_num=self.global_step):
                 if cfg.get("train_from_data", True):
                     batch = None if self.device_replay is not None else next(self.replay_iter)
                     self.state, metrics = step_fn(self.state, batch, target,
-                                                  self.global_step)
+                                                  self.global_step, n)
                 else:
-                    self.state, metrics = data_free_fn(self.state, target, self._next_key())
+                    self.state, metrics = data_free_fn(self.state,
+                                                       self.global_step, n)
 
-            self.global_step += 1
+            self.global_step += n
             if self.global_step > 0 and should_log(self.global_step):
                 # one bulk device->host transfer for the whole metrics dict
                 host = {k: float(v) for k, v in jax.device_get(metrics).items()}
