@@ -218,6 +218,7 @@ class Workspace:
                                             "episode": self.global_episode})
         self.snap.save(self.state, {"step": self.global_step,
                                     "episode": self.global_episode})
+        self.snap.wait_until_finished()
 
 
 def main(argv=None):

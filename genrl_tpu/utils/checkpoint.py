@@ -12,6 +12,7 @@ train.py:141-157).
 from __future__ import annotations
 
 import shutil
+import threading
 from pathlib import Path
 from typing import Any, Dict, Optional
 
@@ -21,14 +22,37 @@ import orbax.checkpoint as ocp
 
 
 def _to_host(tree):
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    """Pipelined device->host pull: start every leaf's transfer before
+    blocking on any (a per-leaf tree_map(np.asarray) pays one link round
+    trip per leaf — on a remote-TPU tunnel that serializes hundreds of
+    RTTs)."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    for leaf in leaves:
+        if isinstance(leaf, jax.Array):
+            leaf.copy_to_host_async()
+    return jax.tree_util.tree_unflatten(treedef, [np.asarray(l) for l in leaves])
 
 
 class SnapshotManager:
+    """Double-buffered snapshot store with asynchronous writes.
+
+    save() blocks only for the (pipelined) device->host pull; the orbax
+    serialization + atomic last/second_last rotation run in a background
+    thread so the train loop is back on the device immediately. At most one
+    write is in flight; a second save (or any load) joins the pending one
+    first, preserving the torn-write discipline.
+    """
+
     def __init__(self, root_dir: Path):
         self.root = Path(root_dir)
         self.root.mkdir(parents=True, exist_ok=True)
         self._ckptr = ocp.StandardCheckpointer()
+        self._pending: Optional[threading.Thread] = None
+
+    def _join_pending(self):
+        if self._pending is not None:
+            self._pending.join()
+            self._pending = None
 
     # ---- paths -----------------------------------------------------------
     def _last(self) -> Path:
@@ -40,15 +64,24 @@ class SnapshotManager:
     # ---- save ---------------------------------------------------------------
     def save(self, state, counters: Dict[str, int], name: Optional[str] = None):
         """Save a named snapshot (e.g. 'snapshot_50000') or rotate the
-        last/second_last pair when name is None (reference: train.py:388-398)."""
+        last/second_last pair when name is None (reference: train.py:388-398).
+        The host copy is taken synchronously (so donated device buffers are
+        never referenced from the writer thread); IO happens in background."""
+        self._join_pending()
         payload = {"state": _to_host(state), "counters": dict(counters)}
-        if name is not None:
-            path = self.root / name
-            if path.exists():
-                shutil.rmtree(path)
-            self._ckptr.save((path / "ckpt").absolute(), payload)
+        target = self.root / name if name is not None else None
+        self._pending = threading.Thread(
+            target=self._write, args=(payload, target), daemon=False)
+        self._pending.start()
+        return target if target is not None else self._last()
+
+    def _write(self, payload, target: Optional[Path]):
+        if target is not None:
+            if target.exists():
+                shutil.rmtree(target)
+            self._ckptr.save((target / "ckpt").absolute(), payload)
             self._ckptr.wait_until_finished()
-            return path
+            return
         tmp = self.root / "tmp_snapshot"
         if tmp.exists():
             shutil.rmtree(tmp)
@@ -60,7 +93,10 @@ class SnapshotManager:
                 shutil.rmtree(second)
             last.rename(second)
         tmp.rename(last)
-        return last
+
+    def wait_until_finished(self):
+        """Block until any in-flight snapshot write has landed."""
+        self._join_pending()
 
     # ---- load -----------------------------------------------------------------
     def _restore(self, path: Path, template):
@@ -70,6 +106,7 @@ class SnapshotManager:
     def load(self, template, path: Optional[Path] = None):
         """Restore (state, counters). Tries `path`, else last, else
         second_last (reference torn-write fallback, train.py:400-410)."""
+        self._join_pending()
         candidates = [Path(path)] if path is not None else [self._last(), self._second_last()]
         last_err = None
         for cand in candidates:
@@ -89,6 +126,7 @@ class SnapshotManager:
         return None
 
     def exists(self) -> bool:
+        self._join_pending()
         return self._last().exists() or self._second_last().exists()
 
 

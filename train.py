@@ -463,6 +463,7 @@ class Workspace:
                     {"step": self.global_step, "episode": self.global_episode},
                     name=f"snapshot_{self.global_step}")
         self.save_last_model()
+        self.snap.wait_until_finished()
         return metrics
 
     def save_last_model(self):
