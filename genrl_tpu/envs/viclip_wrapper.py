@@ -47,6 +47,27 @@ class ViClipWrapper:
         """x: [B, n_frames, C, H, W] uint8 -> [B, emb]."""
         return np.asarray(self.clip.get_vid_features(x), np.float32)
 
+    def _embed_batched(self, windows: np.ndarray, batch: int) -> np.ndarray:
+        """Embed [W, n_frames, C, H, W] windows in fixed-size batches with a
+        2-deep dispatch pipeline: batch k+1's upload + launch overlaps the
+        wait on batch k's result (jax dispatch is asynchronous — the sync
+        point is the np.asarray readback, so never read a batch back before
+        the next one is in flight). The ragged tail is padded to `batch` and
+        sliced after, keeping one compiled executable for every batch."""
+        total = windows.shape[0]
+        pending = []
+        chunks = []
+        for start in range(0, total, batch):
+            x = windows[start : start + batch]
+            if x.shape[0] < batch:
+                pad = np.zeros((batch - x.shape[0],) + x.shape[1:], x.dtype)
+                x = np.concatenate([x, pad], axis=0)
+            pending.append(self.clip.get_vid_features(x))
+            if len(pending) >= 2:
+                chunks.append(np.asarray(pending.pop(0), np.float32))
+        chunks.extend(np.asarray(f, np.float32) for f in pending)
+        return np.concatenate(chunks, axis=0)[:total]
+
     def clip_process(self, x, bypass=False):
         if len(self.buffer) == self.n_frames or bypass:
             if self.accumulate and not bypass:
@@ -61,10 +82,7 @@ class ViClipWrapper:
         if not self.accumulate_buffer:
             return [], "clip_video"
         x = np.stack(self.accumulate_buffer, axis=0)
-        chunks = []
-        for start in range(0, x.shape[0], process_at_once):
-            chunks.append(self._embed(x[start : start + process_at_once]))
-        embeds = np.concatenate(chunks, axis=0)
+        embeds = self._embed_batched(x, int(process_at_once))
         assert embeds.shape[0] == len(self.accumulate_buffer)
         self.accumulate_buffer = []
         return list(embeds), "clip_video"
@@ -75,10 +93,7 @@ class ViClipWrapper:
         T = obs.shape[0]
         n = self.n_frames
         windows = np.stack([obs[j : j + n] for j in range(T - n + 1)], axis=0)
-        chunks = []
-        for start in range(0, windows.shape[0], process_at_once):
-            chunks.append(self._embed(windows[start : start + process_at_once]))
-        embeds = np.concatenate(chunks, axis=0)
+        embeds = self._embed_batched(windows, int(process_at_once))
         pad = np.zeros((n - 1,) + embeds.shape[1:], embeds.dtype)
         embeds = np.concatenate([pad, embeds], axis=0)
         assert embeds.shape[0] == T

@@ -72,7 +72,17 @@ class Workspace:
         self._processor.accumulate_buffer = []
         self._processor.hd_rendering = False
 
+    @staticmethod
+    def _write_episode(path: Path, episode):
+        with io.BytesIO() as bs:
+            np.savez_compressed(bs, **episode)
+            bs.seek(0)
+            with path.open("wb") as f:
+                f.write(bs.read())
+
     def process(self):
+        import threading
+
         from genrl_tpu.data.replay import load_episode
 
         cfg = self.cfg
@@ -80,11 +90,27 @@ class Workspace:
         assert dataset_dir.exists(), dataset_dir
         paths = sorted(dataset_dir.glob("**/*.npz"))
         done = skipped = 0
+        # one write in flight: episode k compresses on the host while episode
+        # k+1 embeds on the device (npz gzip of a 500-frame episode costs
+        # seconds of host CPU — serial, it stalls the accelerator). The lock
+        # is held until the write lands, so other workers still skip safely.
+        pending = None  # (thread, locker)
+
+        def flush():
+            nonlocal pending
+            if pending is not None:
+                thread, locker = pending
+                thread.join()
+                locker.__exit__()
+                pending = None
+
         for path in paths:
-            with Locker(path) as acquired:
-                if not acquired:
-                    skipped += 1
-                    continue
+            locker = Locker(path)
+            if not locker.__enter__():
+                skipped += 1
+                continue
+            keep_lock = False
+            try:
                 episode = load_episode(path)
                 if cfg.get("skip_existing", True) and "clip_video" in episode:
                     skipped += 1
@@ -93,13 +119,18 @@ class Workspace:
                 embeds = self._processor.process_episode(
                     obs, process_at_once=int(cfg.get("batch_windows", 8)))
                 episode["clip_video"] = embeds.astype(np.float32)
-                with io.BytesIO() as bs:
-                    np.savez_compressed(bs, **episode)
-                    bs.seek(0)
-                    with path.open("wb") as f:
-                        f.write(bs.read())
+                flush()
+                thread = threading.Thread(
+                    target=self._write_episode, args=(path, episode))
+                thread.start()
+                pending = (thread, locker)
+                keep_lock = True
                 done += 1
                 print(f"processed {path.name}: clip_video {embeds.shape}")
+            finally:
+                if not keep_lock:
+                    locker.__exit__()
+        flush()
         print(f"done: {done} processed, {skipped} skipped")
         return done, skipped
 

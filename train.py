@@ -247,12 +247,20 @@ class Workspace:
         from genrl_tpu.utils.task_scores import MAX, normalized_score
 
         pool = self._eval_pool()
-        if isinstance(self.agent, GenRLAgent):
-            pol = jax.jit(lambda s, o, c, k: self.agent.policy_step(
-                s, o, c, k, eval_mode=True, use_imag=use_imag))
-        else:
-            pol = jax.jit(lambda s, o, c, k: self.agent.policy_step(
-                s, o, c, k, eval_mode=True))
+        # cache the jitted policy per use_imag flag: a fresh jit wrapper per
+        # eval() would miss jax's compile cache (keyed on fn identity) and
+        # recompile on every evaluation
+        cache = getattr(self, "_eval_pol_cache", None) or {}
+        self._eval_pol_cache = cache
+        pol = cache.get(use_imag)
+        if pol is None:
+            if isinstance(self.agent, GenRLAgent):
+                pol = jax.jit(lambda s, o, c, k: self.agent.policy_step(
+                    s, o, c, k, eval_mode=True, use_imag=use_imag))
+            else:
+                pol = jax.jit(lambda s, o, c, k: self.agent.policy_step(
+                    s, o, c, k, eval_mode=True))
+            cache[use_imag] = pol
         rewards, lengths = pool.rollout(
             lambda o, c, k: pol(self.state, o, c, k),
             self.agent.init_policy_carry, self._next_key)
