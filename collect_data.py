@@ -63,6 +63,23 @@ class Workspace:
             minlen=int(cfg.replay.minlen),
             seed=int(cfg.seed),
         )
+        # device-resident online ring: each completed episode uploads ONCE to
+        # HBM and train batches are gathered inside the train jit — a train
+        # call ships scalars instead of a [B, L] host batch (~10 MB at 16x50
+        # 64px, the dominant cost per train call on a remote-TPU link)
+        self.device_ring = None
+        if bool(cfg.get("replay_device", True)):
+            from genrl_tpu.data.device_replay import DeviceRing
+
+            maxlen = int(cfg.get("replay_device_maxlen",
+                                 1000 // int(cfg.action_repeat) + 1))
+            self.device_ring = DeviceRing(
+                capacity=int(cfg.get("replay_device_episodes", 400)),
+                maxlen=maxlen, length=int(cfg.batch_length))
+            self.replay.on_episode = self.device_ring.add_episode
+            # re-ingest episodes already on disk (crash recovery path)
+            for ep in self.replay.episodes()[-self.device_ring.capacity:]:
+                self.device_ring.add_episode(ep)
 
         self.mesh = make_mesh(**dict(cfg.get("mesh", {"data": 1, "model": 1}),
                                      data=1))
@@ -90,6 +107,19 @@ class Workspace:
         self._jit_policy = jax.jit(self.agent.policy_step,
                                    static_argnames=("eval_mode",))
         self._jit_train = jax.jit(self.agent.train_step, donate_argnums=(0,))
+        if self.device_ring is not None:
+            from genrl_tpu.data.device_replay import sample_windows
+
+            self._ring_base = jax.random.PRNGKey(int(cfg.seed) + 99)
+
+            def _train_ring(s, arrays, ep_len, n_valid, base, step):
+                k1, k2 = jax.random.split(jax.random.fold_in(base, step))
+                batch = sample_windows(arrays, ep_len, k1,
+                                       int(cfg.batch_size),
+                                       int(cfg.batch_length), None, n_valid)
+                return self.agent.train_step(s, batch, k2)
+
+            self._jit_train_ring = jax.jit(_train_ring, donate_argnums=(0,))
         self._eval_pool = None
 
     # ---- eval (reference: collect_data.py eval loop, eval_modality='task') ----
@@ -193,10 +223,16 @@ class Workspace:
             if (not seed_until(self.global_step)
                     and self.global_step % train_every == 0
                     and len(self.replay)):
-                batch = self.replay.sample_batch(int(cfg.batch_size),
-                                                 int(cfg.batch_length))
-                self.state, metrics = self._jit_train(self.state, batch,
-                                                      self._next_key())
+                if self.device_ring is not None and len(self.device_ring):
+                    ring = self.device_ring
+                    self.state, metrics = self._jit_train_ring(
+                        self.state, ring.arrays, ring.ep_len, ring.count,
+                        self._ring_base, self.global_step)
+                else:
+                    batch = self.replay.sample_batch(int(cfg.batch_size),
+                                                     int(cfg.batch_length))
+                    self.state, metrics = self._jit_train(self.state, batch,
+                                                          self._next_key())
 
             ts, obs = self.env.step(action)
             episode_reward += obs["reward"]
@@ -206,6 +242,9 @@ class Workspace:
             if self.global_step > 0 and should_log(self.global_step):
                 host = {k: float(np.asarray(v)) for k, v in metrics.items()}
                 host.update({k: float(v) for k, v in self.replay.stats.items()})
+                if self.device_ring is not None:
+                    host.update({k: float(v) for k, v
+                                 in self.device_ring.stats.items()})
                 self.logger.log_metrics(host, self.global_step, ty="train")
                 elapsed, total = self.timer.reset()
                 with self.logger.log_and_dump_ctx(self.global_step, "train") as log:

@@ -89,15 +89,94 @@ class DeviceReplay:
         }
 
 
+class DeviceRing:
+    """Online device-resident episode ring for the collector.
+
+    The streaming collector feed uploads a full [B, L] host batch per train
+    call (~10 MB for 16x50 64px uint8 — on a remote-TPU link that upload
+    dominates the train call). The ring instead uploads each episode ONCE at
+    episode end into fixed [capacity, maxlen] HBM buffers and fuses window
+    sampling into the train jit (`sample_windows` with n_valid), so a train
+    call ships only scalars. FIFO overwrite past `capacity` episodes — the
+    same eviction the reference's bounded buffer performs (tools/replay.py),
+    just with the recency horizon set by `capacity * maxlen` frames.
+    """
+
+    def __init__(self, capacity: int, maxlen: int, length: int,
+                 image_hwc: bool = True):
+        self.capacity = int(capacity)
+        self.maxlen = int(maxlen)
+        self.length = int(length)
+        self.image_hwc = image_hwc
+        self.arrays: Optional[Dict[str, jax.Array]] = None
+        self.ep_len = jnp.zeros((self.capacity,), jnp.int32)
+        self.cursor = 0          # next slot to overwrite
+        self.count = 0           # filled slots (<= capacity)
+        self.total_episodes = 0
+
+        def _ingest(arrays, ep_len, slot, length, ep):
+            out = {k: jax.lax.dynamic_update_slice(
+                v, ep[k].astype(v.dtype),
+                (slot,) + (0,) * (v.ndim - 1)) for k, v in arrays.items()}
+            return out, ep_len.at[slot].set(length)
+
+        # donate the ring buffers: the update happens in place in HBM
+        self._ingest = jax.jit(_ingest, donate_argnums=(0, 1))
+
+    def _prep(self, episode: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        out = {}
+        for k, v in episode.items():
+            v = np.asarray(v)
+            if (self.image_hwc and v.ndim == 4 and v.shape[1] in (1, 3)
+                    and v.dtype == np.uint8):
+                v = np.transpose(v, (0, 2, 3, 1))
+            T = min(v.shape[0], self.maxlen)
+            buf = np.zeros((1, self.maxlen) + v.shape[1:], v.dtype)
+            buf[0, :T] = v[:T]
+            out[k] = buf
+        return out
+
+    def add_episode(self, episode: Dict[str, np.ndarray]):
+        """Upload one completed [T, ...] episode into the next ring slot."""
+        T = min(next(iter(episode.values())).shape[0], self.maxlen)
+        if T < self.length:
+            return  # shorter than a training window — skip, like minlen
+        ep = self._prep(episode)
+        if self.arrays is None:
+            self.arrays = {
+                k: jnp.zeros((self.capacity,) + v.shape[1:], v.dtype)
+                for k, v in ep.items()}
+        if set(ep) != set(self.arrays):
+            raise ValueError(
+                f"episode keys {sorted(ep)} != ring keys {sorted(self.arrays)}")
+        self.arrays, self.ep_len = self._ingest(
+            self.arrays, self.ep_len, self.cursor, T, ep)
+        self.cursor = (self.cursor + 1) % self.capacity
+        self.count = min(self.count + 1, self.capacity)
+        self.total_episodes += 1
+
+    def __len__(self):
+        return self.count
+
+    @property
+    def stats(self):
+        return {"ring_episodes": self.count,
+                "ring_total_episodes": self.total_episodes}
+
+
 def sample_windows(arrays: Dict[str, jax.Array], ep_len: jax.Array, key: jax.Array,
-                   batch_size: int, length: int, out_sharding=None) -> Dict[str, jax.Array]:
+                   batch_size: int, length: int, out_sharding=None,
+                   n_valid: Optional[jax.Array] = None) -> Dict[str, jax.Array]:
     """Uniform (episode, start) batch gather; pure, jit/pjit-friendly.
     arrays: {k: [N, Tmax, ...]}, ep_len: [N] -> {k: [B, L, ...]}.
     `out_sharding` (e.g. NamedSharding(mesh, P('data'))) constrains the
-    gathered batch so each device materializes only its batch shard."""
+    gathered batch so each device materializes only its batch shard.
+    `n_valid` (traced scalar) restricts episode sampling to the first
+    n_valid slots — the DeviceRing case where the ring is partially full."""
     k_ep, k_t = jax.random.split(key)
     n = ep_len.shape[0]
-    ep_idx = jax.random.randint(k_ep, (batch_size,), 0, n)
+    ep_idx = jax.random.randint(k_ep, (batch_size,), 0,
+                                n if n_valid is None else n_valid)
     avail = jnp.maximum(ep_len[ep_idx] - length, 0)
     u = jax.random.uniform(k_t, (batch_size,))
     start = (u * (avail + 1).astype(jnp.float32)).astype(jnp.int32)

@@ -150,6 +150,9 @@ class ReplayBuffer:
         self._batch_size = None
         self._queue = None
         self._workers = []
+        # called with every completed (converted) episode — the collector
+        # attaches a DeviceRing upload here
+        self.on_episode = None
         if self._directory is not None and self._directory.exists():
             self._load(self._directory, load_recursive)
 
@@ -228,6 +231,8 @@ class ReplayBuffer:
         if length < max(1, self._minlen - 1):
             return
         episode = {k: _convert(v) for k, v in episode.items()}
+        if self.on_episode is not None:
+            self.on_episode(episode)
         self._total_episodes += 1
         self._total_steps += length
         if self._directory is not None:
@@ -248,6 +253,10 @@ class ReplayBuffer:
 
     def __len__(self):
         return self._loaded_episodes
+
+    def episodes(self):
+        """Completed episodes, oldest first (public accessor)."""
+        return list(self._episodes.values())
 
     # ---- sampling ----------------------------------------------------------------
     def _sample_window(self, keys, length: int) -> Dict[str, np.ndarray]:

@@ -70,3 +70,41 @@ def test_memory_gate(tmp_path):
     save_episode(ep, tmp_path, 0)
     with pytest.raises(MemoryError):
         DeviceReplay(tmp_path, length=8, max_bytes=10)
+
+
+def test_device_ring_ingest_and_sample():
+    """Online ring: FIFO overwrite, n_valid-restricted sampling, CHW->HWC."""
+    from genrl_tpu.data.device_replay import DeviceRing
+
+    ring = DeviceRing(capacity=3, maxlen=16, length=4)
+    rng = np.random.default_rng(0)
+
+    def make_ep(i, T):
+        ep = {
+            "observation": rng.integers(0, 255, (T, 3, 8, 8), np.uint8),
+            "action": np.full((T, 2), float(i), np.float32),
+            "is_first": np.zeros(T, bool),
+            "is_last": np.zeros(T, bool),
+        }
+        ep["is_first"][0] = True
+        ep["is_last"][-1] = True
+        return ep
+
+    ring.add_episode(make_ep(0, 2))  # shorter than length -> skipped
+    assert len(ring) == 0
+    for i in range(1, 5):  # 4 episodes into capacity 3 -> FIFO overwrite
+        ring.add_episode(make_ep(i, 8 + i))
+    assert len(ring) == 3 and ring.total_episodes == 4
+    batch = sample_windows(ring.arrays, ring.ep_len,
+                           jax.random.PRNGKey(0), 32, 4, None,
+                           jnp.asarray(ring.count))
+    assert batch["observation"].shape == (32, 4, 8, 8, 3)
+    ids = np.unique(np.asarray(batch["action"][..., 0]))
+    # episode 1 was overwritten by episode 4 (slot 0); only 2, 3, 4 remain
+    assert set(ids.astype(int)) <= {2, 3, 4}
+    assert bool(np.asarray(batch["is_first"][:, 0]).all())
+
+    # jit-compatible with a traced n_valid
+    f = jax.jit(lambda a, l, n, k: sample_windows(a, l, k, 8, 4, None, n))
+    b2 = f(ring.arrays, ring.ep_len, ring.count, jax.random.PRNGKey(1))
+    assert b2["action"].shape == (8, 4, 2)
