@@ -56,6 +56,7 @@ class MetersGroup:
         self._meters = defaultdict(AverageMeter)
         self._csv_file = None
         self._csv_writer = None
+        self._csv_fields = []
 
     def log(self, key: str, value, n: int = 1):
         self._meters[key].update(value, n)
@@ -69,37 +70,51 @@ class MetersGroup:
         return data
 
     # ---- CSV with schema self-healing (reference: tools/logger.py:59-116) ----
-    def _remove_old_entries(self, data):
-        rows = []
+    def _migrate_schema(self, data):
+        """Rewrite the CSV so its header covers the union of the existing
+        fields and ``data``'s keys; rows keep their values, missing cells
+        fill with 0.0. Rows at/after the current frame are dropped
+        (resume-overwrite semantics). Returns the new field list."""
+        rows, old_fields = [], []
         with self._csv_file_name.open("r") as f:
             reader = csv.DictReader(f)
+            old_fields = list(reader.fieldnames or [])
             for row in reader:
                 if "frame" in row and row["frame"] and float(row["frame"]) >= data["frame"]:
                     break
                 rows.append(row)
+        fields = sorted(set(old_fields) | set(data.keys()))
         with self._csv_file_name.open("w", newline="") as f:
-            writer = csv.DictWriter(f, fieldnames=sorted(data.keys()), restval=0.0)
+            writer = csv.DictWriter(f, fieldnames=fields, restval=0.0)
             writer.writeheader()
             for row in rows:
-                writer.writerow({k: row.get(k, 0.0) for k in data.keys()})
+                writer.writerow({k: row.get(k, 0.0) for k in fields})
+        return fields
 
     def _dump_to_csv(self, data):
+        if self._csv_writer is not None and not set(data) <= set(self._csv_fields):
+            # a metric appeared mid-run (e.g. episode_reward after the first
+            # episode completes): rewrite with the union schema and reopen
+            self._csv_file.close()
+            self._csv_writer = None
         if self._csv_writer is None:
-            should_write_header = True
+            self._csv_file_name.parent.mkdir(parents=True, exist_ok=True)
+            header_needed = True
             if self._csv_file_name.exists():
                 with self._csv_file_name.open("r") as f:
-                    reader = csv.DictReader(f)
-                    old_fields = reader.fieldnames or []
-                if set(old_fields) != set(data.keys()):
-                    self._remove_old_entries(data)
+                    old_fields = csv.DictReader(f).fieldnames or []
+                if set(data) <= set(old_fields):
+                    self._csv_fields = list(old_fields)
                 else:
-                    should_write_header = False
-            self._csv_file_name.parent.mkdir(parents=True, exist_ok=True)
+                    self._csv_fields = self._migrate_schema(data)
+                header_needed = False
+            else:
+                self._csv_fields = sorted(data.keys())
             self._csv_file = self._csv_file_name.open("a", newline="")
             self._csv_writer = csv.DictWriter(
-                self._csv_file, fieldnames=sorted(data.keys()), restval=0.0
+                self._csv_file, fieldnames=self._csv_fields, restval=0.0
             )
-            if should_write_header:
+            if header_needed:
                 self._csv_writer.writeheader()
         self._csv_writer.writerow(data)
         self._csv_file.flush()
