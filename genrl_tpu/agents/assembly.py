@@ -37,6 +37,13 @@ from genrl_tpu.utils.optim import apply_updates_with_metrics, make_optimizer
 sg = jax.lax.stop_gradient
 
 
+def _pallas_gru_ok(cfg) -> bool:
+    """Use the single-launch Pallas GRU rollout: TPU backend only (the CPU
+    test mesh and the multichip dryrun run the XLA scan path; interpret-mode
+    Pallas under an 8-device GSPMD mesh would be pure overhead)."""
+    return bool(cfg.get("use_pallas", True)) and jax.default_backend() == "tpu"
+
+
 @flax.struct.dataclass
 class AgentState:
     """All learnable/accumulated state of an agent as one pytree."""
@@ -112,7 +119,8 @@ class DreamerAgent:
         self.wm = WorldModel(
             shapes=tuple(sorted(shapes.items())),
             action_dim=act_dim,
-            rssm_cfg=tuple(sorted({**dict(cfg.rssm), "cell_input": "stoch"}.items())),
+            rssm_cfg=tuple(sorted({**dict(cfg.rssm), "cell_input": "stoch",
+                                   "use_pallas_gru": _pallas_gru_ok(cfg)}.items())),
             encoder_cfg=tuple(sorted(dict(cfg.encoder).items())),
             decoder_cfg=tuple(sorted(decoder_cfg.items())),
             reward_head_cfg=tuple(sorted(dict(cfg.reward_head).items())),
@@ -296,6 +304,7 @@ class GenRLAgent(DreamerAgent):
             denoising_ae=bool(conn_flags.get("denoising_ae", True)),
             learn_initial=bool(conn_cfg.pop("learn_initial", True)),
             connector_kl=tuple(sorted(dict(cfg.agent.connector_kl).items())),
+            use_pallas_gru=_pallas_gru_ok(cfg),
             dtype=self.dtype,
             **{k: v for k, v in conn_cfg.items() if k != "learn_initial"},
         )

@@ -124,6 +124,39 @@ class GRUCell(nn.Module):
         update = jax.nn.sigmoid(update + self.update_bias)
         return update * cand + (1 - update) * deter.astype(cand.dtype)
 
+    def step_seq(self, x_proj, mask, deter0, use_pallas: bool = False):
+        """Full T-step rollout from time-major projections.
+
+        x_proj [T, B, 3*size], mask [T, B] (0 resets the carry, is_first),
+        deter0 [B, size] -> deters [T, B, size] f32. On TPU with the default
+        cell config this dispatches to the single-launch Pallas kernel
+        (ops/pallas/gru_scan.py: recurrent weight stays VMEM-resident across
+        steps instead of one HBM-read-per-step XLA while-loop); otherwise an
+        nn.scan equivalent runs. Param creation always goes through the scan
+        path (flax init)."""
+        from genrl_tpu.ops.pallas.gru_scan import gru_scan, supported
+
+        T, B = x_proj.shape[:2]
+        if (use_pallas and self.norm and self.act == "Tanh"
+                and self.update_bias == -1.0 and not self.is_initializing()
+                and supported(B, self.size)):
+            w = self.wd.variables["params"]["kernel"]
+            g = self.ln.variables["params"]["scale"]
+            b = self.ln.variables["params"]["bias"]
+            return gru_scan(x_proj, mask, deter0.astype(jnp.float32), w, g, b)
+
+        def body(mod, h, x):
+            xp, m = x
+            h = h * m[:, None]
+            h = mod.step(xp, h).astype(jnp.float32)
+            return h, h
+
+        scan = nn.scan(body, variable_broadcast="params",
+                       split_rngs={"params": False}, in_axes=0, out_axes=0)
+        _, hs = scan(self, deter0.astype(jnp.float32),
+                     (x_proj, mask.astype(jnp.float32)))
+        return hs
+
     def __call__(self, inputs, deter):
         return self.step(self.project_input(inputs), deter)
 

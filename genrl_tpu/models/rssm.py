@@ -66,6 +66,7 @@ class RSSM(nn.Module):
     unif_mix: float = 0.99
     has_posterior: bool = True
     fused: bool = True  # hoist batchable matmuls out of scans when possible
+    use_pallas_gru: bool = False  # single-launch Pallas GRU rollout (TPU)
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -256,21 +257,14 @@ class RSSM(nn.Module):
         """Minimal sequential core: deter[t] = GRU_step(x_proj[t], deter[t-1]).
         x_proj: time-major [T, B, 3*deter] precomputed input projections;
         reset_mask: [T, B, 1] multiplied into the carry (is_first resets).
-        Returns time-major deter sequence [T, B, deter]."""
-
-        def step(mod, deter, x):
-            xp, m = x
-            if m is not None:
-                deter = deter * m
-            deter = mod.cell.step(xp, deter).astype(jnp.float32)
-            return deter, deter
-
-        scan = nn.scan(step, variable_broadcast="params", split_rngs={"params": False},
-                       in_axes=0, out_axes=0)
+        Returns time-major deter sequence [T, B, deter]. With use_pallas_gru
+        the whole rollout is ONE Pallas kernel launch (gru_scan.py)."""
         if reset_mask is None:
-            reset_mask = jnp.ones(x_proj.shape[:2] + (1,), jnp.float32)
-        _, deters = scan(self, deter0.astype(jnp.float32), (x_proj, reset_mask))
-        return deters
+            mask = jnp.ones(x_proj.shape[:2], jnp.float32)
+        else:
+            mask = reset_mask[..., 0]
+        return self.cell.step_seq(x_proj, mask, deter0,
+                                  use_pallas=self.use_pallas_gru)
 
     def _observe_fused(self, embed, action, is_first, key, state=None, should_sample=True):
         """Batched-matmul observe for single_obs_posterior models: posterior
