@@ -131,7 +131,12 @@ class WorldModel(nn.Module):
             "tanh": jnp.tanh,
         }[self.clip_rewards]
         if "reward" in out:
-            out["reward"] = reward_fn(out["reward"].astype(jnp.float32))
+            reward = reward_fn(out["reward"].astype(jnp.float32))
+            # canonicalize to a trailing event dim [..., 1] (twohot heads
+            # expect it; is_first is always event-free [B, T])
+            if "is_first" in out and reward.ndim == out["is_first"].ndim:
+                reward = reward[..., None]
+            out["reward"] = reward
         if "is_terminal" in out:
             discount = 1.0 - out["is_terminal"].astype(jnp.float32)
             if "reward" in out and discount.ndim < out["reward"].ndim:

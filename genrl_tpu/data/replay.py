@@ -56,6 +56,20 @@ def save_episode(episode: Dict[str, np.ndarray], directory: Path, idx: int) -> P
     return path
 
 
+def normalize_episode(episode: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Canonicalize per-key shapes to the reference NPZ schema: reward and
+    discount carry a trailing singleton event dim — reward(T,1), discount(T,1)
+    (reference fixture data/stickman_example; SURVEY.md §2.6). Episodes
+    collected by wrappers that emit scalar rewards would otherwise stack to
+    (T,) and break twohot heads expecting [..., 1] targets."""
+    out = dict(episode)
+    for k in ("reward", "discount"):
+        v = out.get(k)
+        if v is not None and v.ndim == 1:
+            out[k] = v[:, None]
+    return out
+
+
 def load_episode(path: Path) -> Dict[str, np.ndarray]:
     """Load one episode. Uses the native C++ reader (thread-pooled inflate,
     GIL released — native/npz_reader.cc) when built; numpy otherwise. The
@@ -65,12 +79,12 @@ def load_episode(path: Path) -> Dict[str, np.ndarray]:
         from genrl_tpu.data import native
 
         if native.available():
-            return native.load_episode_native(path)
+            return normalize_episode(native.load_episode_native(path))
     except Exception:
         pass
     with Path(path).open("rb") as f:
         data = np.load(f)
-        return {k: data[k] for k in data.files}
+        return normalize_episode({k: data[k] for k in data.files})
 
 
 def parse_filename(path: Path):
@@ -230,7 +244,7 @@ class ReplayBuffer:
         length = episode_len(episode)
         if length < max(1, self._minlen - 1):
             return
-        episode = {k: _convert(v) for k, v in episode.items()}
+        episode = {k: _convert(v) for k, v in normalize_episode(episode).items()}
         if self.on_episode is not None:
             self.on_episode(episode)
         self._total_episodes += 1

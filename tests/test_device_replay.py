@@ -108,3 +108,53 @@ def test_device_ring_ingest_and_sample():
     f = jax.jit(lambda a, l, n, k: sample_windows(a, l, k, 8, 4, None, n))
     b2 = f(ring.arrays, ring.ep_len, ring.count, jax.random.PRNGKey(1))
     assert b2["action"].shape == (8, 4, 2)
+
+
+def test_train_step_on_scalar_reward_episode():
+    """Regression: episodes collected from env wrappers carry SCALAR per-step
+    rewards; _store_episode must normalize them to the reference (T, 1)
+    schema so ring batches feed twohot heads correctly (the first real
+    collector train step crashed on reward [B, T] before this)."""
+    import jax
+    import numpy as np
+
+    from genrl_tpu.agents.assembly import make_agent
+    from genrl_tpu.data import ReplayBuffer
+    from genrl_tpu.data.device_replay import DeviceRing, sample_windows
+    from genrl_tpu.configs import COLLECT_BASE, PRESETS
+    from genrl_tpu.utils.config import compose
+
+    tiny = [
+        "rssm.hidden=32", "rssm.deter=32", "rssm.stoch=4", "rssm.discrete=4",
+        "encoder.cnn_depth=8", "encoder.cnn_kernels=(4,4)",
+        "decoder.cnn_depth=8", "decoder.cnn_kernels=(6,6)",
+        "reward_head.layers=2", "reward_head.units=32", "reward_head.dist=twohot",
+        "discount_head.layers=2", "discount_head.units=32",
+        "actor.layers=2", "actor.units=32", "critic.layers=2", "critic.units=32",
+        "batch_size=2", "batch_length=8", "imag_horizon=4", "precision=32",
+        "img_size=16", "replay.minlen=8", "replay.maxlen=8", "agent=dreamer",
+    ]
+    cfg = compose(PRESETS, COLLECT_BASE, tiny)
+    replay = ReplayBuffer(directory=None, length=8, capacity=100, minlen=8, seed=0)
+    ring = DeviceRing(capacity=4, maxlen=32, length=8)
+    replay.on_episode = ring.add_episode
+    T = 24
+    for t in range(T):
+        replay.add({
+            "observation": np.random.randint(0, 255, (3, 16, 16), np.uint8),
+            "is_first": t == 0, "is_last": t == T - 1, "is_terminal": False,
+            "reward": float(np.sin(t)),             # SCALAR reward
+            "discount": 1.0,
+            "action": np.zeros(4, np.float32),
+        })
+    ep = replay.episodes()[0]
+    assert ep["reward"].shape == (T, 1)
+    assert ep["discount"].shape == (T, 1)
+
+    agent = make_agent(cfg, {"observation": (16, 16, 3)}, 4)
+    state = agent.init(jax.random.PRNGKey(0))
+    batch = sample_windows(ring.arrays, ring.ep_len, jax.random.PRNGKey(1),
+                           2, 8, None, ring.count)
+    assert batch["reward"].shape == (2, 8, 1)
+    state, metrics = agent.train_step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(np.asarray(metrics["model_loss"])))
