@@ -185,14 +185,29 @@ class Workspace:
         only_random = bool(cfg.get("only_random_actions", False))
         eval_every = Every(int(cfg.eval_every_frames), ar)
 
+        import time
+
         ts, obs = self.env.reset()
         carry = self.agent.init_policy_carry(1)
         episode_reward, episode_len = 0.0, 0
         metrics = {}
+        # per-phase wall-time accumulators, dumped per log window (SURVEY §5.1
+        # tracing parity: the reference logs only fps; we break the step down)
+        phase = {"env": 0.0, "policy": 0.0, "train": 0.0, "flush": 0.0,
+                 "other": 0.0}
+        t_mark = time.time()
+
+        def mark(name):
+            nonlocal t_mark
+            now = time.time()
+            phase[name] += now - t_mark
+            t_mark = now
+
         while train_until(self.global_step):
             if (self.global_step > 0 and cfg.get("eval_modality") == "task"
                     and eval_every(self.global_step)):
                 self.eval()
+            mark("other")
             if obs["is_last"]:
                 # viclip accumulate flush (reference: collect_data.py:240-247):
                 # embeds[-1] rides the FINAL transition; embeds[:-1] backfill
@@ -205,6 +220,7 @@ class Workspace:
                         self.replay.attach_key(key, embeds[:-1])
                         final_obs[key] = np.asarray(embeds[-1])
                 self.replay.add(final_obs)
+                mark("flush")
                 self.global_episode += 1
                 self.logger.log("train/episode_reward", episode_reward, self.global_step)
                 self.logger.log("train/episode_length", episode_len * ar, self.global_step)
@@ -219,6 +235,7 @@ class Workspace:
                 action, carry = self._jit_policy(
                     self.state, self._obs_to_model(obs), carry, self._next_key())
                 action = np.asarray(action[0])
+            mark("policy")
 
             if (not seed_until(self.global_step)
                     and self.global_step % train_every == 0
@@ -233,8 +250,10 @@ class Workspace:
                                                      int(cfg.batch_length))
                     self.state, metrics = self._jit_train(self.state, batch,
                                                           self._next_key())
+            mark("train")
 
             ts, obs = self.env.step(action)
+            mark("env")
             episode_reward += obs["reward"]
             episode_len += 1
             self.global_step += 1
@@ -252,6 +271,10 @@ class Workspace:
                     log("step", self.global_step)
                     log("episode", self.global_episode)
                     log("total_time", total)
+                    window = max(sum(phase.values()), 1e-9)
+                    for k, v in phase.items():
+                        log(f"time_{k}_pct", 100.0 * v / window)
+                        phase[k] = 0.0
             if should_save(self.global_step):
                 self.snap.save(self.state, {"step": self.global_step,
                                             "episode": self.global_episode})
