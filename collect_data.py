@@ -75,7 +75,9 @@ class Workspace:
                                  1000 // int(cfg.action_repeat) + 1))
             self.device_ring = DeviceRing(
                 capacity=int(cfg.get("replay_device_episodes", 400)),
-                maxlen=maxlen, length=int(cfg.batch_length))
+                maxlen=maxlen, length=int(cfg.batch_length),
+                keys=("observation", "action", "reward", "discount",
+                      "is_first", "is_terminal"))
             self.replay.on_episode = self.device_ring.add_episode
             # re-ingest episodes already on disk (crash recovery path)
             for ep in self.replay.episodes()[-self.device_ring.capacity:]:

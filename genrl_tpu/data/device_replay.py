@@ -103,11 +103,15 @@ class DeviceRing:
     """
 
     def __init__(self, capacity: int, maxlen: int, length: int,
-                 image_hwc: bool = True):
+                 image_hwc: bool = True, keys=None):
         self.capacity = int(capacity)
         self.maxlen = int(maxlen)
         self.length = int(length)
         self.image_hwc = image_hwc
+        # optional key filter: episodes may carry extras (e.g. clip_video on
+        # some but not all episodes of a mixed buffer); the ring tracks only
+        # the keys the trainer samples, keeping slot schemas homogeneous
+        self.keys = tuple(keys) if keys is not None else None
         self.arrays: Optional[Dict[str, jax.Array]] = None
         self.ep_len = jnp.zeros((self.capacity,), jnp.int32)
         self.cursor = 0          # next slot to overwrite
@@ -125,6 +129,11 @@ class DeviceRing:
 
     def _prep(self, episode: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         out = {}
+        if self.keys is not None:
+            missing = [k for k in self.keys if k not in episode]
+            if missing:
+                raise ValueError(f"episode missing ring keys {missing}")
+            episode = {k: episode[k] for k in self.keys}
         for k, v in episode.items():
             v = np.asarray(v)
             if (self.image_hwc and v.ndim == 4 and v.shape[1] in (1, 3)
