@@ -98,3 +98,19 @@ def test_grucell_step_seq_paths_agree():
     jax.tree_util.tree_map(
         lambda a, b2: np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
                                                  rtol=2e-4, atol=2e-4), gp, gs)
+
+
+def test_forward_and_grads_bf16_inputs():
+    """Training runs the kernel with bf16 x_proj/weights (f32 params cast at
+    the boundary); values and grads must track the XLA path at bf16
+    tolerances."""
+    x_proj, mask, deter0, w, g, b = _inputs(T=4, B=16, K=128, seed=4,
+                                            dtype=jnp.bfloat16)
+    out = gru_scan(x_proj, mask, deter0, w, g, b)
+    ref = gru_scan_reference(x_proj, mask, deter0, w, g, b)
+    assert out.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+    gk = jax.grad(lambda ww: jnp.sum(gru_scan(x_proj, mask, deter0, ww, g, b) ** 2))(w)
+    gr = jax.grad(lambda ww: jnp.sum(gru_scan_reference(x_proj, mask, deter0, ww, g, b) ** 2))(w)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), rtol=5e-2, atol=5e-1)
