@@ -342,15 +342,19 @@ class Workspace:
                 # K=8 the host has 40 ms of slack per dispatch. Metrics are
                 # averaged over the chunk.
                 def make_fused(n):
-                    def body(s, i):
-                        k1, k2 = jax.random.split(jax.random.fold_in(
-                            base_key, i))
-                        d = sample_windows(dr.arrays, dr.ep_len, k1,
-                                           int(cfg.batch_size),
-                                           int(cfg.batch_length), bs)
-                        return agent_step(s, d, k2)
+                    # the episode store rides in as ARGUMENTS, not closure:
+                    # closed-over jax arrays are baked into the HLO as
+                    # constants, and a multi-GB store blows the program (and
+                    # any remote compile service's request limit) apart
+                    def fused(s, step0, arrays, ep_len):
+                        def body(s, i):
+                            k1, k2 = jax.random.split(jax.random.fold_in(
+                                base_key, i))
+                            d = sample_windows(arrays, ep_len, k1,
+                                               int(cfg.batch_size),
+                                               int(cfg.batch_length), bs)
+                            return agent_step(s, d, k2)
 
-                    def fused(s, step0):
                         s, ms = jax.lax.scan(body, s, step0 + jax.numpy.arange(n))
                         return s, jax.tree_util.tree_map(
                             lambda x: jax.numpy.mean(
@@ -360,7 +364,7 @@ class Workspace:
 
                 chunk_jits = {}
                 step_fn = lambda s, d, t, i, n=1: chunk_jits.setdefault(
-                    n, make_fused(n))(s, i)
+                    n, make_fused(n))(s, i, dr.arrays, dr.ep_len)
             else:
                 plain_jit = jax.jit(
                     lambda s, d, base, step: agent_step(
