@@ -173,12 +173,19 @@ class Workspace:
         self.state = shard_params(state if state is not None else template, self.mesh)
         self.batch_sharding = batch_sharding(self.mesh)
 
-        if self.replay is not None:
-            self.replay_iter = self.replay.dataset(
-                int(cfg.batch_size), int(cfg.batch_length),
-                sharding=self.batch_sharding, prefetch=4, num_workers=2)
+        # host batch feed is built LAZILY: with device-resident replay the
+        # train loop never consumes it (sampling is fused into the train jit)
+        # and eager prefetch workers would burn host RAM/CPU filling a queue
+        # nobody reads — only report_visuals (and the streaming path) want it
 
     # ---- helpers -------------------------------------------------------------------
+    def _replay_iter(self):
+        if self.replay_iter is None and self.replay is not None:
+            self.replay_iter = self.replay.dataset(
+                int(self.cfg.batch_size), int(self.cfg.batch_length),
+                sharding=self.batch_sharding, prefetch=4, num_workers=2)
+        return self.replay_iter
+
     def _spaces(self):
         cfg = self.cfg
         if self.replay is not None and len(self.replay):
@@ -277,9 +284,9 @@ class Workspace:
     def report_visuals(self):
         """Open-loop + connector prediction panels (reference:
         train.py:357-360 -> agent.report)."""
-        if self.replay_iter is None:
+        if self._replay_iter() is None:
             return
-        batch = next(self.replay_iter)
+        batch = next(self._replay_iter())
         videos = self.agent.report(self.state, batch, self._next_key())
         self.logger.log_visual(
             {k: np.asarray(v) for k, v in videos.items()}, self.global_step)
@@ -448,7 +455,7 @@ class Workspace:
             n = chunk_len(self.global_step)
             with jax.profiler.StepTraceAnnotation("train", step_num=self.global_step):
                 if cfg.get("train_from_data", True):
-                    batch = None if self.device_replay is not None else next(self.replay_iter)
+                    batch = None if self.device_replay is not None else next(self._replay_iter())
                     self.state, metrics = step_fn(self.state, batch, target,
                                                   self.global_step, n)
                 else:
@@ -483,9 +490,18 @@ class Workspace:
 
 
 def main(argv=None):
+    import os
+
     from genrl_tpu.configs import PRESETS, TRAIN_BASE
     from genrl_tpu.utils.config import compose
 
+    if os.environ.get("GENRL_WATCHDOG"):
+        # remote-TPU links can wedge a dispatch indefinitely; dump all thread
+        # stacks periodically so a hung run is diagnosable from its log
+        import faulthandler
+
+        faulthandler.dump_traceback_later(
+            int(os.environ["GENRL_WATCHDOG"]), repeat=True, exit=False)
     argv = list(sys.argv[1:] if argv is None else argv)
     cfg = compose(PRESETS, TRAIN_BASE, argv)
     ws = Workspace(cfg)
