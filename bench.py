@@ -60,22 +60,25 @@ def main():
 
     base_key = jax.random.PRNGKey(1)
 
-    def body(s, i):
-        k_sample, k_train = jax.random.split(jax.random.fold_in(base_key, i))
-        batch = sample_windows(replay.arrays, replay.ep_len, k_sample,
-                               BATCH, LENGTH, out_sharding)
-        return agent.train_step(s, batch, k_train, target_seq=None,
-                                train_world_model=True, train_connector=True)
-
     # CHUNK grad steps per dispatch as one lax.scan program (matches
     # train.py's steps_per_dispatch): the per-dispatch host/RTT cost is paid
     # once per chunk, not once per grad step. State donation avoids whole
-    # param/opt pytree copies (measured 10.9 -> 7.9 ms/step on v5e).
-    def chunk(s, step0):
+    # param/opt pytree copies (measured 10.9 -> 7.9 ms/step on v5e). The
+    # episode store rides in as ARGUMENTS like train.py's make_fused —
+    # closed-over jax arrays would be baked into the HLO as constants.
+    def chunk(s, step0, arrays, ep_len):
+        def body(s, i):
+            k_sample, k_train = jax.random.split(jax.random.fold_in(base_key, i))
+            batch = sample_windows(arrays, ep_len, k_sample,
+                                   BATCH, LENGTH, out_sharding)
+            return agent.train_step(s, batch, k_train, target_seq=None,
+                                    train_world_model=True, train_connector=True)
+
         s, ms = jax.lax.scan(body, s, step0 + jax.numpy.arange(CHUNK))
         return s, ms
 
-    step = jax.jit(chunk, donate_argnums=(0,))
+    jit_chunk = jax.jit(chunk, donate_argnums=(0,))
+    step = lambda s, i: jit_chunk(s, i, replay.arrays, replay.ep_len)
 
     for i in range(0, WARMUP_STEPS, CHUNK):
         state, metrics = step(state, i)
@@ -95,6 +98,9 @@ def main():
         "value": round(steps_per_sec, 3),
         "unit": "steps/s (batch 16x16, stickman_walk, 1 chip)",
         "vs_baseline": round(steps_per_sec / REFERENCE_GRAD_STEPS_PER_SEC, 3),
+        # the 13 steps/s anchor is a FLOP-accounting estimate, not a
+        # measurement (no CUDA GPU in this environment) — see BASELINE.md
+        "baseline_is_estimate": True,
     }))
 
 

@@ -44,10 +44,19 @@ class Workspace:
         self.logger = Logger(self.work_dir, use_tb=cfg.use_tb, use_wandb=cfg.use_wandb)
         self.timer = Timer()
 
-        self.env = envs.make(
-            cfg.task, cfg.obs_type, int(cfg.action_repeat), int(cfg.seed),
-            img_size=int(cfg.img_size), viclip_encode=bool(cfg.viclip_encode),
-            clip_hd_rendering=bool(cfg.clip_hd_rendering))
+        # N lockstep collection envs: one batched policy call per timestep
+        # serves all of them, amortizing the policy round trip (~44% of the
+        # single-env step time on a remote-TPU link) across N frames. The
+        # replay keeps per-env episode accounting via add(..., env_id).
+        self.n_envs = max(1, int(cfg.get("num_collect_envs", 1)))
+        self.envs = [
+            envs.make(
+                cfg.task, cfg.obs_type, int(cfg.action_repeat),
+                int(cfg.seed) + 97 * i,
+                img_size=int(cfg.img_size), viclip_encode=bool(cfg.viclip_encode),
+                clip_hd_rendering=bool(cfg.clip_hd_rendering))
+            for i in range(self.n_envs)]
+        self.env = self.envs[0]
         obs_space = {"observation": tuple(np.asarray(
             self.env.obs_space["observation"].shape))}
         # stored CHW -> model HWC
@@ -162,37 +171,46 @@ class Workspace:
         self._key, sub = jax.random.split(self._key)
         return sub
 
-    def _obs_to_model(self, obs):
-        """CHW uint8 -> [1, H, W, C] device-ready policy obs."""
-        img = obs["observation"]
-        if img.ndim == 3 and img.shape[0] in (1, 3):
-            img = np.transpose(img, (1, 2, 0))
+    def _obs_to_model(self, obs_list):
+        """List of CHW uint8 obs dicts -> [N, H, W, C] device-ready batch."""
+        imgs = []
+        for o in obs_list:
+            img = o["observation"]
+            if img.ndim == 3 and img.shape[0] in (1, 3):
+                img = np.transpose(img, (1, 2, 0))
+            imgs.append(img)
         return {
-            "observation": img[None],
-            "is_first": np.asarray([obs["is_first"]]),
-            "is_terminal": np.asarray([obs["is_terminal"]]),
-            "reward": np.asarray([[np.float32(obs["reward"] or 0.0)]]),
+            "observation": np.stack(imgs),
+            "is_first": np.asarray([o["is_first"] for o in obs_list]),
+            "is_terminal": np.asarray([o["is_terminal"] for o in obs_list]),
+            "reward": np.asarray(
+                [[np.float32(o["reward"] or 0.0)] for o in obs_list]),
         }
 
     def train(self):
-        from genrl_tpu.utils.schedules import Every, Until
+        from genrl_tpu.utils.schedules import Crossed, Until
 
         cfg = self.cfg
         ar = int(cfg.action_repeat)
+        N = self.n_envs
         train_until = Until(int(cfg.num_train_frames), ar)
         seed_until = Until(int(cfg.num_seed_frames), ar)
-        should_log = Every(int(cfg.log_every_frames), ar)
-        should_save = Every(int(cfg.save_every_frames), ar)
+        # boundary-crossing predicates: with N lockstep envs global_step
+        # advances by N per iteration and can step OVER exact multiples
+        should_log = Crossed(int(cfg.log_every_frames), ar)
+        should_save = Crossed(int(cfg.save_every_frames), ar)
         train_every = int(cfg.get("train_every_actions", 10))
         only_random = bool(cfg.get("only_random_actions", False))
-        eval_every = Every(int(cfg.eval_every_frames), ar)
+        eval_every = Crossed(int(cfg.eval_every_frames), ar)
 
         import time
 
-        ts, obs = self.env.reset()
-        carry = self.agent.init_policy_carry(1)
-        episode_reward, episode_len = 0.0, 0
+        obs = [env.reset()[1] for env in self.envs]
+        carry = self.agent.init_policy_carry(N)
+        episode_reward = [0.0] * N
+        episode_len = [0] * N
         metrics = {}
+        trained_at = self.global_step  # train-every-N accounting across envs
         # per-phase wall-time accumulators, dumped per log window (SURVEY §5.1
         # tracing parity: the reference logs only fps; we break the step down)
         phase = {"env": 0.0, "policy": 0.0, "train": 0.0, "flush": 0.0,
@@ -206,61 +224,77 @@ class Workspace:
             t_mark = now
 
         while train_until(self.global_step):
-            if (self.global_step > 0 and cfg.get("eval_modality") == "task"
+            if (cfg.get("eval_modality") == "task"
                     and eval_every(self.global_step)):
                 self.eval()
             mark("other")
-            if obs["is_last"]:
+            for i, env in enumerate(self.envs):
+                if not obs[i]["is_last"]:
+                    continue
                 # viclip accumulate flush (reference: collect_data.py:240-247):
                 # embeds[-1] rides the FINAL transition; embeds[:-1] backfill
                 # the ongoing tail so each frame pairs with the window that
                 # ENDS at it (same alignment as reference datasets)
-                final_obs = dict(obs, is_last=True)
-                if hasattr(self.env, "process_accumulate"):
-                    embeds, key = self.env.process_accumulate()
+                final_obs = dict(obs[i], is_last=True)
+                if hasattr(env, "process_accumulate"):
+                    embeds, key = env.process_accumulate()
                     if embeds:
-                        self.replay.attach_key(key, embeds[:-1])
+                        self.replay.attach_key(key, embeds[:-1], env_id=i)
                         final_obs[key] = np.asarray(embeds[-1])
-                self.replay.add(final_obs)
+                self.replay.add(final_obs, env_id=i)
                 mark("flush")
                 self.global_episode += 1
-                self.logger.log("train/episode_reward", episode_reward, self.global_step)
-                self.logger.log("train/episode_length", episode_len * ar, self.global_step)
-                ts, obs = self.env.reset()
-                carry = self.agent.init_policy_carry(1)
-                episode_reward, episode_len = 0.0, 0
-            self.replay.add(obs)
+                self.logger.log("train/episode_reward", episode_reward[i],
+                                self.global_step)
+                self.logger.log("train/episode_length", episode_len[i] * ar,
+                                self.global_step)
+                _, obs[i] = env.reset()
+                # the policy carry resets itself: obs_step masks the latent
+                # and prev_action on is_first (rssm.obs_step), so the fresh
+                # reset obs clears env i's carry row on the next policy call
+                episode_reward[i], episode_len[i] = 0.0, 0
+            for i in range(N):
+                self.replay.add(obs[i], env_id=i)
 
             if seed_until(self.global_step) or only_random:
-                action = self.env.act_space["action"].sample()
+                actions = [env.act_space["action"].sample()
+                           for env in self.envs]
             else:
                 action, carry = self._jit_policy(
-                    self.state, self._obs_to_model(obs), carry, self._next_key())
-                action = np.asarray(action[0])
+                    self.state, self._obs_to_model(obs), carry,
+                    self._next_key())
+                action = np.asarray(action)
+                actions = [action[i] for i in range(N)]
             mark("policy")
 
-            if (not seed_until(self.global_step)
-                    and self.global_step % train_every == 0
-                    and len(self.replay)):
-                if self.device_ring is not None and len(self.device_ring):
-                    ring = self.device_ring
-                    self.state, metrics = self._jit_train_ring(
-                        self.state, ring.arrays, ring.ep_len, ring.count,
-                        self._ring_base, self.global_step)
-                else:
-                    batch = self.replay.sample_batch(int(cfg.batch_size),
-                                                     int(cfg.batch_length))
-                    self.state, metrics = self._jit_train(self.state, batch,
-                                                          self._next_key())
+            # one train call per train_every actions taken (summed across the
+            # lockstep envs), preserving the reference's grad-step : frame
+            # ratio for any N
+            if not seed_until(self.global_step) and len(self.replay):
+                while self.global_step - trained_at >= train_every:
+                    trained_at += train_every
+                    if self.device_ring is not None and len(self.device_ring):
+                        ring = self.device_ring
+                        self.state, metrics = self._jit_train_ring(
+                            self.state, ring.arrays, ring.ep_len, ring.count,
+                            self._ring_base, trained_at)
+                    else:
+                        batch = self.replay.sample_batch(int(cfg.batch_size),
+                                                         int(cfg.batch_length))
+                        self.state, metrics = self._jit_train(
+                            self.state, batch, self._next_key())
+            else:
+                trained_at = self.global_step
             mark("train")
 
-            ts, obs = self.env.step(action)
+            for i, env in enumerate(self.envs):
+                _, obs[i] = env.step(actions[i])
+                episode_reward[i] += obs[i]["reward"]
+                episode_len[i] += 1
             mark("env")
-            episode_reward += obs["reward"]
-            episode_len += 1
-            self.global_step += 1
+            self.global_step += N
 
-            if self.global_step > 0 and should_log(self.global_step):
+            if should_log(self.global_step):
                 host = {k: float(np.asarray(v)) for k, v in metrics.items()}
                 host.update({k: float(v) for k, v in self.replay.stats.items()})
                 if self.device_ring is not None:

@@ -262,6 +262,9 @@ COLLECT_BASE = dict(
     viclip_encode=False,
     viclip_model="internvideo2",
     clip_hd_rendering=False,
+    # N lockstep collection envs sharing one batched policy call per step
+    # (1 = the reference's sequential collector)
+    num_collect_envs=1,
     experiment="collect",
     project_name="genrl",
     log_every_frames=1_000,

@@ -134,6 +134,11 @@ class DeviceRing:
             if missing:
                 raise ValueError(f"episode missing ring keys {missing}")
             episode = {k: episode[k] for k in self.keys}
+        # add_episode derives the slot's valid length from the FIRST key; a
+        # ragged episode would silently zero-fill inside the sampled window
+        lens = {k: np.asarray(v).shape[0] for k, v in episode.items()}
+        if len(set(lens.values())) > 1:
+            raise ValueError(f"ragged episode (per-key lengths differ): {lens}")
         for k, v in episode.items():
             v = np.asarray(v)
             if (self.image_hwc and v.ndim == 4 and v.shape[1] in (1, 3)

@@ -48,11 +48,18 @@ class SnapshotManager:
         self.root.mkdir(parents=True, exist_ok=True)
         self._ckptr = ocp.StandardCheckpointer()
         self._pending: Optional[threading.Thread] = None
+        self._write_err: Optional[BaseException] = None
 
     def _join_pending(self):
         if self._pending is not None:
             self._pending.join()
             self._pending = None
+        if self._write_err is not None:
+            # a swallowed writer failure (disk full, serialization error)
+            # would let training finish "healthy" with stale snapshots —
+            # surface it at the next save/load/wait instead
+            err, self._write_err = self._write_err, None
+            raise RuntimeError("snapshot write failed") from err
 
     # ---- paths -----------------------------------------------------------
     def _last(self) -> Path:
@@ -76,6 +83,12 @@ class SnapshotManager:
         return target if target is not None else self._last()
 
     def _write(self, payload, target: Optional[Path]):
+        try:
+            self._write_inner(payload, target)
+        except BaseException as e:  # noqa: BLE001 — re-raised in _join_pending
+            self._write_err = e
+
+    def _write_inner(self, payload, target: Optional[Path]):
         if target is not None:
             if target.exists():
                 shutil.rmtree(target)

@@ -35,6 +35,28 @@ class Every:
         return step % (self._every // self._action_repeat) == 0
 
 
+class Crossed:
+    """True once whenever the counter crosses a multiple of `every`.
+
+    Every() fires on exact multiples, which the batched collector can step
+    over (global_step advances by num_collect_envs per lockstep iteration);
+    Crossed fires on the first call at-or-past each boundary instead."""
+
+    def __init__(self, every, action_repeat: int = 1):
+        self._every = (every // action_repeat) if every else 0
+        self._last = None
+
+    def __call__(self, step: int) -> bool:
+        if not self._every:
+            return False
+        if self._last is None:
+            self._last = step
+            return False
+        fired = step // self._every > self._last // self._every
+        self._last = step
+        return fired
+
+
 class Timer:
     def __init__(self):
         self._start_time = time.time()

@@ -73,12 +73,22 @@ class Workspace:
         self._processor.hd_rendering = False
 
     @staticmethod
-    def _write_episode(path: Path, episode):
-        with io.BytesIO() as bs:
-            np.savez_compressed(bs, **episode)
-            bs.seek(0)
-            with path.open("wb") as f:
-                f.write(bs.read())
+    def _write_episode(path: Path, episode, errbox):
+        """Compress to a sidecar tmp and os.replace() into place so a failed
+        or interrupted write can never truncate the source episode; any
+        exception is captured for flush() to re-raise (a bare daemon-thread
+        failure would otherwise leave the episode silently unprocessed while
+        the run counts it as done)."""
+        try:
+            tmp = path.with_name(path.name + ".tmp")
+            with io.BytesIO() as bs:
+                np.savez_compressed(bs, **episode)
+                bs.seek(0)
+                with tmp.open("wb") as f:
+                    f.write(bs.read())
+            os.replace(tmp, path)
+        except BaseException as e:  # noqa: BLE001 — relayed to the main thread
+            errbox.append(e)
 
     def process(self):
         import threading
@@ -94,15 +104,17 @@ class Workspace:
         # k+1 embeds on the device (npz gzip of a 500-frame episode costs
         # seconds of host CPU — serial, it stalls the accelerator). The lock
         # is held until the write lands, so other workers still skip safely.
-        pending = None  # (thread, locker)
+        pending = None  # (thread, locker, errbox)
 
         def flush():
             nonlocal pending
             if pending is not None:
-                thread, locker = pending
+                thread, locker, errbox = pending
                 thread.join()
                 locker.__exit__()
                 pending = None
+                if errbox:
+                    raise RuntimeError("episode write failed") from errbox[0]
 
         for path in paths:
             locker = Locker(path)
@@ -120,10 +132,11 @@ class Workspace:
                     obs, process_at_once=int(cfg.get("batch_windows", 8)))
                 episode["clip_video"] = embeds.astype(np.float32)
                 flush()
+                errbox = []
                 thread = threading.Thread(
-                    target=self._write_episode, args=(path, episode))
+                    target=self._write_episode, args=(path, episode, errbox))
                 thread.start()
-                pending = (thread, locker)
+                pending = (thread, locker, errbox)
                 keep_lock = True
                 done += 1
                 print(f"processed {path.name}: clip_video {embeds.shape}")

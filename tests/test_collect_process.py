@@ -54,6 +54,30 @@ def test_collect_data_resumes_from_snapshot(tmp_path):
     assert ws.global_step == 60
 
 
+def test_collect_data_batched_envs(tmp_path):
+    """num_collect_envs>1: N lockstep envs share one batched policy call per
+    timestep; per-env episode accounting stays separate (replay env_id) and
+    the grad-step : frame ratio is preserved."""
+    import collect_data as cli
+
+    cli.main(TINY + [
+        "task=walker_walk", "num_train_frames=240", "action_repeat=2",
+        "num_collect_envs=3", f"workdir={tmp_path}",
+    ])
+    ws_dir = tmp_path / "walker_walk"
+    assert (ws_dir / "train.csv").exists()
+    assert (ws_dir / "snapshots" / "last_snapshot").exists()
+
+    from genrl_tpu.configs import COLLECT_BASE, PRESETS
+    from genrl_tpu.utils.config import compose
+
+    cfg = compose(PRESETS, COLLECT_BASE, TINY + [
+        "task=walker_walk", "num_train_frames=240", "action_repeat=2",
+        "num_collect_envs=3", f"workdir={tmp_path}"])
+    ws = cli.Workspace(cfg)
+    assert ws.global_step >= 120  # resumed past the 120-step budget
+
+
 def test_accumulate_flush_alignment():
     """The deferred ViCLIP flush must match reference alignment
     (collect_data.py:244-246): embeds[-1] on the final transition,

@@ -435,6 +435,10 @@ class Workspace:
                         gap = min(gap, b - step)
             return max(1, min(max_chunk, gap))
 
+        # resume dedupe: a snapshot saved exactly on an eval boundary would
+        # re-fire eval() on every restart, appending duplicate eval.csv rows
+        # for the same step (seen as 3x step-10000 rows in the r2 pipeline)
+        last_eval_step = self.global_step
         while train_until(self.global_step):
             if profile and self.global_step == prof_start:
                 jax.profiler.start_trace(str(self.work_dir / "profile"))
@@ -442,7 +446,9 @@ class Workspace:
                 jax.device_get(metrics)  # drain the dispatch queue first
                 jax.profiler.stop_trace()
                 print(f"profile trace written to {self.work_dir / 'profile'}")
-            if self.global_step > 0 and eval_every(self.global_step):
+            if (self.global_step > 0 and self.global_step != last_eval_step
+                    and eval_every(self.global_step)):
+                last_eval_step = self.global_step
                 if cfg.get("eval_modality") == "task":
                     self.eval(use_imag=False)
                 elif cfg.get("eval_modality") == "task_imag":
