@@ -433,9 +433,13 @@ class GenRLAgent(DreamerAgent):
 
     # ---- combined steps ----------------------------------------------------------------------
     def train_step(self, state: AgentState, data, key, target_seq=None,
-                   train_world_model=True, train_connector=True):
+                   train_world_model=True, train_connector=True,
+                   imag_env_reward=False):
         """One full GenRL model-learning step (train.py:273-280 orchestration),
-        a single jitted program."""
+        a single jitted program. `imag_env_reward=True` trains the imag
+        behavior with the reward head instead of a prompt target (reference:
+        `agent.imag_reward_fn=env_reward` resolves through the same
+        update_imag_behavior path, agent/genrl.py:108-124)."""
         k1, k2, k3 = jax.random.split(key, 3)
         metrics = {}
         # named scopes label the phases in jax.profiler traces / HLO
@@ -450,11 +454,31 @@ class GenRLAgent(DreamerAgent):
             with jax.named_scope("connector_update"):
                 state, mets = self.connector_train_step(state, data, outs["post"], k2)
             metrics.update(mets)
-        if target_seq is not None:
+        if target_seq is not None or imag_env_reward:
             with jax.named_scope("behavior_update"):
-                state, mets = self.update_imag_behavior(
-                    state, jax.tree_util.tree_map(sg, outs["post"]),
-                    outs["is_terminal"], target_seq, k3)
+                post = jax.tree_util.tree_map(sg, outs["post"])
+                if imag_env_reward:
+                    new_imag, mets = behavior_update(
+                        self.imag, self.wm, state.wm_params, state.imag,
+                        post, outs["is_terminal"],
+                        self._acting_reward_fn(state), k3)
+                    state = state.replace(imag=new_imag)
+                else:
+                    state, mets = self.update_imag_behavior(
+                        state, post, outs["is_terminal"], target_seq, k3)
+            metrics.update(mets)
+        elif self._finetune:
+            # finetune phase (reference: finetune_mode + train loop,
+            # agent/genrl.py:55-59 + conf/train_mode/finetune.yaml): the imag
+            # behavior IS the acting behavior now, trained in imagination
+            # with the env reward from the (now-learned) reward head
+            with jax.named_scope("finetune_behavior"):
+                reward_fn = self._acting_reward_fn(state)
+                new_imag, mets = behavior_update(
+                    self.imag, self.wm, state.wm_params, state.imag,
+                    jax.tree_util.tree_map(sg, outs["post"]),
+                    outs["is_terminal"], reward_fn, k3)
+                state = state.replace(imag=new_imag)
             metrics.update(mets)
         return state, metrics
 

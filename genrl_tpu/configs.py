@@ -216,6 +216,13 @@ TRAIN_BASE = dict(
     workdir=None,
     train_connector=False,
     train_world_model=False,
+    # finetune phase (reference: agent/genrl.py:55-59): imag behavior acts,
+    # connector frozen, reward head joins grad_heads, train on env data
+    finetune=False,
+    # mean-center + renormalize clip_video AND the prompt embed with shared
+    # dataset statistics (rewards/embed_stats.py); needed when the embedder's
+    # space is collapsed (e.g. randomly-initialized InternVideo2)
+    embed_whiten=False,
     reset_connector=False,
     reset_world_model=False,
     reset_imag_behavior=True,
@@ -284,6 +291,7 @@ PROCESS_BASE = dict(
     seed=1,
     device="tpu",
     viclip_model="internvideo2",
+    models_root="models",
     batch_windows=64,
     n_frames=8,
     skip_existing=True,

@@ -31,7 +31,7 @@ class DeviceReplay:
 
     def __init__(self, directory: Path, length: int, keys=None, minlen: int = 1,
                  sharding=None, max_bytes: float = 8e9, image_hwc: bool = True,
-                 load_recursive: bool = True):
+                 load_recursive: bool = True, transforms=None):
         from genrl_tpu.data.replay import load_episode
 
         self.length = int(length)
@@ -71,6 +71,11 @@ class DeviceReplay:
                 buf[i, : v.shape[0]] = v
             if image_hwc and buf.ndim == 5 and buf.shape[2] in (1, 3) and buf.dtype == np.uint8:
                 buf = np.transpose(buf, (0, 1, 3, 4, 2))
+            if transforms and k in transforms:
+                # host-side per-key transform (e.g. embedding whitening) runs
+                # on the padded [N, Tmax, ...] buffer before the one-time
+                # device upload; padding rows are all-zero by construction
+                buf = transforms[k](buf)
             arrays[k] = buf
 
         put = (lambda x: jax.device_put(x, sharding)) if sharding is not None else jax.device_put

@@ -272,6 +272,13 @@ class ReplayBuffer:
         """Completed episodes, oldest first (public accessor)."""
         return list(self._episodes.values())
 
+    def transform_key(self, key: str, fn):
+        """Map `fn` over every loaded episode's `key` array in place (e.g.
+        embedding whitening on `clip_video` before training)."""
+        for ep in self._episodes.values():
+            if key in ep:
+                ep[key] = fn(ep[key])
+
     # ---- sampling ----------------------------------------------------------------
     def _sample_window(self, keys, length: int) -> Dict[str, np.ndarray]:
         names = list(self._episodes.keys())

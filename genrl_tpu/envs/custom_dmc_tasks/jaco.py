@@ -1,13 +1,17 @@
 """Jaco arm multi-target reach tasks (composer-based).
 
-Rebuild of envs/custom_dmc_tasks/jaco.py:1-221: four fixed target corners on
-the table, Duplo prop as the target object, tolerance reward on TCP-target
-distance. Built from dm_control.manipulation shared components.
+Rebuild of envs/custom_dmc_tasks/jaco.py:1-221 — four fixed target corners on
+the table, a Duplo prop as the target object, tolerance reward on TCP-target
+distance — assembled from dm_control.manipulation's shared components.
+
+Provenance: the reference file is itself the dm_control Authors' Apache-2.0
+composer task carried into GenRL (see PARITY.md). The composer API dictates
+the task/arena/robot wiring; this version keeps only the prop-target reach
+surface GenRL's tasks use (the reference's site-target/no-prop branch and
+the generic `_reach` factory family are dropped).
 """
 
 from __future__ import annotations
-
-import collections
 
 import numpy as np
 from dm_control import composer
@@ -18,106 +22,74 @@ from dm_control.manipulation.shared import (arenas, cameras, constants,
                                             observations, robots, workspaces)
 from dm_control.utils import rewards
 
-_ReachWorkspace = collections.namedtuple(
-    "_ReachWorkspace", ["target_bbox", "tcp_bbox", "arm_offset"])
-
-_PROP_Z_OFFSET = 0.001
+_PROP_Z = 0.001        # resting height of the Duplo on the table
 _TARGET_RADIUS = 0.05
 _TIME_LIMIT = 10
 
-_DUPLO_WORKSPACE = _ReachWorkspace(
-    target_bbox=workspaces.BoundingBox(lower=(-0.1, -0.1, _PROP_Z_OFFSET),
-                                       upper=(0.1, 0.1, _PROP_Z_OFFSET)),
-    tcp_bbox=workspaces.BoundingBox(lower=(-0.1, -0.1, 0.2),
-                                    upper=(0.1, 0.1, 0.4)),
-    arm_offset=robots.ARM_OFFSET)
-
-TASKS = {
-    "reach_top_left": workspaces.BoundingBox(
-        lower=(-0.09, 0.09, _PROP_Z_OFFSET), upper=(-0.09, 0.09, _PROP_Z_OFFSET)),
-    "reach_top_right": workspaces.BoundingBox(
-        lower=(0.09, 0.09, _PROP_Z_OFFSET), upper=(0.09, 0.09, _PROP_Z_OFFSET)),
-    "reach_bottom_left": workspaces.BoundingBox(
-        lower=(-0.09, -0.09, _PROP_Z_OFFSET), upper=(-0.09, -0.09, _PROP_Z_OFFSET)),
-    "reach_bottom_right": workspaces.BoundingBox(
-        lower=(0.09, -0.09, _PROP_Z_OFFSET), upper=(0.09, -0.09, _PROP_Z_OFFSET)),
+# the four scored reach corners (x, y) on the tabletop
+_CORNERS = {
+    "reach_top_left": (-0.09, 0.09),
+    "reach_top_right": (0.09, 0.09),
+    "reach_bottom_left": (-0.09, -0.09),
+    "reach_bottom_right": (0.09, -0.09),
 }
+TASKS = {
+    name: workspaces.BoundingBox(lower=(x, y, _PROP_Z), upper=(x, y, _PROP_Z))
+    for name, (x, y) in _CORNERS.items()
+}
+
+# TCP spawn volume above the table; prop bbox only drawn as a debug site
+_TCP_BBOX = workspaces.BoundingBox(lower=(-0.1, -0.1, 0.2), upper=(0.1, 0.1, 0.4))
+_PROP_BBOX = workspaces.BoundingBox(lower=(-0.1, -0.1, _PROP_Z), upper=(0.1, 0.1, _PROP_Z))
 
 
 class MTReach(composer.Task):
-    """Bring the hand close to the task's target corner."""
+    """Bring the hand's tool center point to the task's target corner."""
 
-    def __init__(self, task_id, arena, arm, hand, prop, obs_settings, workspace,
+    def __init__(self, task_id, arena, arm, hand, prop, obs_settings,
                  control_timestep):
-        self._task_id = task_id
-        self._arena = arena
-        self._arm = arm
-        self._hand = hand
-        self._arm.attach(self._hand)
-        self._arena.attach_offset(self._arm, offset=workspace.arm_offset)
+        self._arena, self._arm, self._hand, self._prop = arena, arm, hand, prop
+        arm.attach(hand)
+        arena.attach_offset(arm, offset=robots.ARM_OFFSET)
         self.control_timestep = control_timestep
+
         self._tcp_initializer = initializers.ToolCenterPointInitializer(
-            self._hand, self._arm,
-            position=distributions.Uniform(*workspace.tcp_bbox),
+            hand, arm, position=distributions.Uniform(*_TCP_BBOX),
             quaternion=workspaces.DOWN_QUATERNION)
         self._task_observables = cameras.add_camera_observables(
             arena, obs_settings, cameras.FRONT_CLOSE)
-        target_pos_distribution = distributions.Uniform(*TASKS[task_id])
-        self._prop = prop
-        if prop:
-            self._make_target_site(parent_entity=prop, visible=False)
-            self._target = self._arena.add_free_entity(prop)
-            self._prop_placer = initializers.PropPlacer(
-                props=[prop], position=target_pos_distribution,
-                quaternion=workspaces.uniform_z_rotation, settle_physics=True)
-        else:
-            self._target = self._make_target_site(parent_entity=arena, visible=True)
-            self._target_placer = target_pos_distribution
-        workspaces.add_bbox_site(
-            body=self.root_entity.mjcf_model.worldbody,
-            lower=workspace.tcp_bbox.lower, upper=workspace.tcp_bbox.upper,
-            rgba=constants.GREEN, name="tcp_spawn_area")
-        workspaces.add_bbox_site(
-            body=self.root_entity.mjcf_model.worldbody,
-            lower=workspace.target_bbox.lower, upper=workspace.target_bbox.upper,
-            rgba=constants.BLUE, name="target_spawn_area")
 
-    def _make_target_site(self, parent_entity, visible):
-        return workspaces.add_target_site(
-            body=parent_entity.mjcf_model.worldbody, radius=_TARGET_RADIUS,
-            visible=visible, rgba=constants.RED, name="target_site")
+        # target = the prop, placed at the task's fixed corner each episode
+        workspaces.add_target_site(
+            body=prop.mjcf_model.worldbody, radius=_TARGET_RADIUS,
+            visible=False, rgba=constants.RED, name="target_site")
+        self._target = arena.add_free_entity(prop)
+        self._prop_placer = initializers.PropPlacer(
+            props=[prop], position=distributions.Uniform(*TASKS[task_id]),
+            quaternion=workspaces.uniform_z_rotation, settle_physics=True)
 
-    @property
-    def root_entity(self):
-        return self._arena
+        for name, bbox, rgba in (("tcp_spawn_area", _TCP_BBOX, constants.GREEN),
+                                 ("target_spawn_area", _PROP_BBOX, constants.BLUE)):
+            workspaces.add_bbox_site(body=arena.mjcf_model.worldbody,
+                                     lower=bbox.lower, upper=bbox.upper,
+                                     rgba=rgba, name=name)
 
-    @property
-    def arm(self):
-        return self._arm
-
-    @property
-    def hand(self):
-        return self._hand
-
-    @property
-    def task_observables(self):
-        return self._task_observables
+    root_entity = property(lambda self: self._arena)
+    arm = property(lambda self: self._arm)
+    hand = property(lambda self: self._hand)
+    task_observables = property(lambda self: self._task_observables)
 
     def get_reward(self, physics):
-        hand_pos = physics.bind(self._hand.tool_center_point).xpos
-        target_pos = physics.bind(self._target).xpos
-        distance = np.linalg.norm(hand_pos - target_pos)
-        return rewards.tolerance(distance, bounds=(0, _TARGET_RADIUS),
+        tcp = physics.bind(self._hand.tool_center_point).xpos
+        target = physics.bind(self._target).xpos
+        return rewards.tolerance(np.linalg.norm(tcp - target),
+                                 bounds=(0, _TARGET_RADIUS),
                                  margin=_TARGET_RADIUS)
 
     def initialize_episode(self, physics, random_state):
         self._hand.set_grasp(physics, close_factors=random_state.uniform())
         self._tcp_initializer(physics, random_state)
-        if self._prop:
-            self._prop_placer(physics, random_state)
-        else:
-            physics.bind(self._target).pos = self._target_placer(
-                random_state=random_state)
+        self._prop_placer(physics, random_state)
 
 
 def make(task_id, obs_type, seed, img_size=64):
@@ -126,12 +98,13 @@ def make(task_id, obs_type, seed, img_size=64):
     cam = obs_settings.camera._replace(width=img_size, height=img_size)
     obs_settings = obs_settings._replace(camera=cam)
     time_limit = _TIME_LIMIT if obs_type == "pixels" else 10.04
-    arena = arenas.Standard()
-    arm = robots.make_arm(obs_settings=obs_settings)
-    hand = robots.make_hand(obs_settings=obs_settings)
-    prop = props.Duplo(observable_options=observations.make_options(
-        obs_settings, observations.FREEPROP_OBSERVABLES))
-    task = MTReach(task_id, arena=arena, arm=arm, hand=hand, prop=prop,
-                   obs_settings=obs_settings, workspace=_DUPLO_WORKSPACE,
-                   control_timestep=constants.CONTROL_TIMESTEP)
+    task = MTReach(
+        task_id,
+        arena=arenas.Standard(),
+        arm=robots.make_arm(obs_settings=obs_settings),
+        hand=robots.make_hand(obs_settings=obs_settings),
+        prop=props.Duplo(observable_options=observations.make_options(
+            obs_settings, observations.FREEPROP_OBSERVABLES)),
+        obs_settings=obs_settings,
+        control_timestep=constants.CONTROL_TIMESTEP)
     return composer.Environment(task, time_limit=time_limit, random_state=seed)

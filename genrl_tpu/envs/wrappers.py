@@ -6,6 +6,13 @@ where obs_dict carries observation/is_first/is_last/is_terminal/reward/
 action/discount (+ clip_video when the ViClip wrapper is on). Spaces are
 framework-native BoxSpace (no gym dependency). The pixel path emits CHW
 uint8 frames, matching the reference's on-disk episode schema.
+
+Provenance note: the reference's wrapper zoo is itself drqv2/URLB-lineage
+dm_env boilerplate with one canonical spelling per wrapper. Here the zoo is
+restructured around two forwarding bases (`Forward` for the dm_env level,
+`DictForward` for the dict-obs level) so each wrapper states only its delta —
+the per-class reset/spec/getattr delegation the reference repeats eight times
+exists once.
 """
 
 from __future__ import annotations
@@ -19,51 +26,18 @@ from dm_env import specs
 from genrl_tpu.envs.spaces import BoxSpace
 
 
-class ActionDTypeWrapper(dm_env.Environment):
-    """(reference: envs/main.py:204-228)."""
+class Forward(dm_env.Environment):
+    """Forwarding base for dm_env-level wrappers: subclasses override only
+    the methods whose behavior they change."""
 
-    def __init__(self, env, dtype):
+    def __init__(self, env):
         self._env = env
-        spec = env.action_spec()
-        self._action_spec = specs.BoundedArray(spec.shape, dtype, spec.minimum,
-                                               spec.maximum, "action")
-
-    def step(self, action):
-        return self._env.step(np.asarray(action).astype(self._env.action_spec().dtype))
 
     def reset(self):
         return self._env.reset()
 
-    def observation_spec(self):
-        return self._env.observation_spec()
-
-    def action_spec(self):
-        return self._action_spec
-
-    def __getattr__(self, name):
-        return getattr(self._env, name)
-
-
-class ActionRepeatWrapper(dm_env.Environment):
-    """Reward sum + discount product across repeats (envs/main.py:91-118)."""
-
-    def __init__(self, env, num_repeats):
-        self._env = env
-        self._num_repeats = num_repeats
-
     def step(self, action):
-        reward = 0.0
-        discount = 1.0
-        for _ in range(self._num_repeats):
-            time_step = self._env.step(action)
-            reward += (time_step.reward or 0.0) * discount
-            discount *= time_step.discount
-            if time_step.last():
-                break
-        return time_step._replace(reward=reward, discount=discount)
-
-    def reset(self):
-        return self._env.reset()
+        return self._env.step(action)
 
     def observation_spec(self):
         return self._env.observation_spec()
@@ -72,15 +46,71 @@ class ActionRepeatWrapper(dm_env.Environment):
         return self._env.action_spec()
 
     def __getattr__(self, name):
+        if name.startswith("__"):
+            raise AttributeError(name)
         return getattr(self._env, name)
 
 
-class FramesWrapper(dm_env.Environment):
+class DictForward:
+    """Forwarding base for wrappers above the (TimeStep, obs_dict) protocol."""
+
+    def __init__(self, env):
+        self._env = env
+
+    def reset(self):
+        return self._env.reset()
+
+    def step(self, action):
+        return self._env.step(action)
+
+    def __getattr__(self, name):
+        if name.startswith("__"):
+            raise AttributeError(name)
+        return getattr(self._env, name)
+
+
+class ActionDTypeWrapper(Forward):
+    """Cast agent actions to the env's declared dtype (envs/main.py:204-228)."""
+
+    def __init__(self, env, dtype):
+        super().__init__(env)
+        spec = env.action_spec()
+        self._action_spec = specs.BoundedArray(spec.shape, dtype, spec.minimum,
+                                               spec.maximum, "action")
+
+    def step(self, action):
+        cast = np.asarray(action, dtype=self._env.action_spec().dtype)
+        return self._env.step(cast)
+
+    def action_spec(self):
+        return self._action_spec
+
+
+class ActionRepeatWrapper(Forward):
+    """Apply each action `num_repeats` physics steps, accumulating the
+    discounted reward and compounding the discount (envs/main.py:91-118)."""
+
+    def __init__(self, env, num_repeats):
+        super().__init__(env)
+        self._num_repeats = num_repeats
+
+    def step(self, action):
+        total, discount, ts = 0.0, 1.0, None
+        for _ in range(self._num_repeats):
+            ts = self._env.step(action)
+            total += discount * float(ts.reward or 0.0)
+            discount *= ts.discount
+            if ts.last():
+                break
+        return ts._replace(reward=total, discount=discount)
+
+
+class FramesWrapper(Forward):
     """Extract pixels, stack num_frames along channels, CHW uint8
     (envs/main.py:121-174)."""
 
     def __init__(self, env, num_frames=1, pixels_key="pixels"):
-        self._env = env
+        super().__init__(env)
         self._num_frames = num_frames
         self._frames = deque([], maxlen=num_frames)
         self._pixels_key = pixels_key
@@ -116,18 +146,12 @@ class FramesWrapper(dm_env.Environment):
     def observation_spec(self):
         return self._obs_spec
 
-    def action_spec(self):
-        return self._env.action_spec()
 
-    def __getattr__(self, name):
-        return getattr(self._env, name)
-
-
-class ObservationDTypeWrapper(dm_env.Environment):
+class ObservationDTypeWrapper(Forward):
     """Flat state observations -> float32 'observation' (envs/main.py:231-258)."""
 
     def __init__(self, env, dtype=np.float32):
-        self._env = env
+        super().__init__(env)
         self._dtype = dtype
         spec = env.observation_spec()["observations"]
         self._obs_spec = specs.Array(spec.shape, dtype, "observation")
@@ -145,19 +169,13 @@ class ObservationDTypeWrapper(dm_env.Environment):
     def observation_spec(self):
         return self._obs_spec
 
-    def action_spec(self):
-        return self._env.action_spec()
 
-    def __getattr__(self, name):
-        return getattr(self._env, name)
-
-
-class ActionScaleWrapper(dm_env.Environment):
+class ActionScaleWrapper(Forward):
     """Map [-1, 1] agent actions onto the env's action bounds (replaces
     dm_control.suite.wrappers.action_scale in the reference stack)."""
 
     def __init__(self, env, minimum=-1.0, maximum=1.0):
-        self._env = env
+        super().__init__(env)
         spec = env.action_spec()
         self._orig_min = np.asarray(spec.minimum, np.float64)
         self._orig_max = np.asarray(spec.maximum, np.float64)
@@ -171,17 +189,8 @@ class ActionScaleWrapper(dm_env.Environment):
         orig = (np.asarray(action) - self._min) * scale + self._orig_min
         return self._env.step(orig.astype(self._env.action_spec().dtype))
 
-    def reset(self):
-        return self._env.reset()
-
-    def observation_spec(self):
-        return self._env.observation_spec()
-
     def action_spec(self):
         return self._action_spec
-
-    def __getattr__(self, name):
-        return getattr(self._env, name)
 
 
 class DictObs:
@@ -191,31 +200,27 @@ class DictObs:
     def __init__(self, env):
         self._env = env
 
+    def _obs(self, time_step, action, is_first):
+        return {
+            "reward": 0.0 if is_first else time_step.reward,
+            "is_first": is_first,
+            "is_last": time_step.last(),
+            "is_terminal": False if is_first else time_step.discount == 0,
+            "observation": time_step.observation,
+            "action": action,
+            "discount": (1.0 if time_step.discount is None
+                         else time_step.discount),
+        }
+
     def step(self, action):
         time_step = self._env.step(action)
-        obs = {
-            "reward": time_step.reward,
-            "is_first": False,
-            "is_last": time_step.last(),
-            "is_terminal": time_step.discount == 0,
-            "observation": time_step.observation,
-            "action": np.asarray(action, np.float32),
-            "discount": time_step.discount,
-        }
-        return time_step, obs
+        return time_step, self._obs(time_step, np.asarray(action, np.float32),
+                                    is_first=False)
 
     def reset(self):
         time_step = self._env.reset()
-        obs = {
-            "reward": 0.0,
-            "is_first": True,
-            "is_last": False,
-            "is_terminal": False,
-            "observation": time_step.observation,
-            "action": np.zeros(self.act_space["action"].shape, np.float32),
-            "discount": 1.0 if time_step.discount is None else time_step.discount,
-        }
-        return time_step, obs
+        zero = np.zeros(self.act_space["action"].shape, np.float32)
+        return time_step, self._obs(time_step, zero, is_first=True)
 
     @property
     def obs_space(self):
@@ -233,14 +238,16 @@ class DictObs:
         return {"action": BoxSpace(spec.minimum, spec.maximum, spec.shape, np.float32)}
 
     def __getattr__(self, name):
+        if name.startswith("__"):
+            raise AttributeError(name)
         return getattr(self._env, name)
 
 
-class TimeLimit:
-    """(reference: envs/main.py:586-614)."""
+class TimeLimit(DictForward):
+    """End the episode after `duration` steps (envs/main.py:586-614)."""
 
     def __init__(self, env, duration):
-        self._env = env
+        super().__init__(env)
         self._duration = duration
         self._step = None
 
@@ -259,38 +266,25 @@ class TimeLimit:
         self._step = 0
         return self._env.reset()
 
-    def __getattr__(self, name):
-        if name.startswith("__"):
-            raise AttributeError(name)
-        return getattr(self._env, name)
 
-
-class ClipActionWrapper:
-    """(reference: envs/main.py:616-638)."""
+class ClipActionWrapper(DictForward):
+    """Clip continuous actions into [low, high] (envs/main.py:616-638)."""
 
     def __init__(self, env, low=-1.0, high=1.0):
-        self._env = env
+        super().__init__(env)
         self._low = low
         self._high = high
 
     def step(self, action):
         return self._env.step(np.clip(action, self._low, self._high))
 
-    def reset(self):
-        return self._env.reset()
 
-    def __getattr__(self, name):
-        if name.startswith("__"):
-            raise AttributeError(name)
-        return getattr(self._env, name)
-
-
-class NormalizeAction:
+class NormalizeAction(DictForward):
     """Map [-1,1] to finite action bounds at the dict-protocol level
     (reference: envs/main.py:640-668)."""
 
     def __init__(self, env, key="action"):
-        self._env = env
+        super().__init__(env)
         self._key = key
         space = env.act_space[key]
         self._mask = np.isfinite(space.low) & np.isfinite(space.high)
@@ -308,20 +302,12 @@ class NormalizeAction:
         orig = np.where(self._mask, orig, action)
         return self._env.step(orig)
 
-    def reset(self):
-        return self._env.reset()
 
-    def __getattr__(self, name):
-        if name.startswith("__"):
-            raise AttributeError(name)
-        return getattr(self._env, name)
-
-
-class OneHotAction:
+class OneHotAction(DictForward):
     """One-hot interface over a discrete-action env (envs/main.py:176-202)."""
 
     def __init__(self, env, n: int):
-        self._env = env
+        super().__init__(env)
         self._n = n
 
     @property
@@ -330,16 +316,8 @@ class OneHotAction:
 
     def step(self, action):
         index = int(np.argmax(action))
-        reference = np.zeros_like(action)
-        reference[index] = 1
-        if not np.allclose(reference, action):
+        onehot = np.zeros_like(action)
+        onehot[index] = 1
+        if not np.allclose(onehot, action):
             raise ValueError(f"Invalid one-hot action:\n{action}")
         return self._env.step(index)
-
-    def reset(self):
-        return self._env.reset()
-
-    def __getattr__(self, name):
-        if name.startswith("__"):
-            raise AttributeError(name)
-        return getattr(self._env, name)

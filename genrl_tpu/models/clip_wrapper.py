@@ -44,10 +44,26 @@ class ViCLIP:
     def __init__(self, models_root: str = "models", checkpoint: Optional[str] = None,
                  vision_cfg: Optional[dict] = None, text_cfg: Optional[dict] = None,
                  use_flash: bool = True, dtype=jnp.bfloat16, n_frames: int = 8,
-                 embed_dim: int = 512, vocab_path: Optional[str] = None):
+                 embed_dim: int = 512, vocab_path: Optional[str] = None,
+                 mesh=None):
         from genrl_tpu.models.internvideo2 import InternVideo2Stage2, convert_torch_checkpoint
 
         self.n_frames = n_frames
+        root = Path(models_root)
+        ckpt = Path(checkpoint) if checkpoint else root / "InternVideo2-stage2_1b-224p-f4.pt"
+        sd = None
+        if ckpt.exists():
+            import torch
+
+            sd = torch.load(ckpt, map_location="cpu")
+            sd = sd.get("module", sd.get("model", sd))
+            sd = {k: v.float().numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+            if "vision_proj.weight" in sd:
+                # joint-space width comes from the checkpoint itself — the
+                # reference probes viclip_emb_dim with a zero forward
+                # (tools/genrl_utils.py:189-199); reading the projection
+                # shape is the load-time equivalent
+                embed_dim = int(sd["vision_proj.weight"].shape[0])
         self.viclip_emb_dim = embed_dim
         vision_cfg = dict(VIT_1B if vision_cfg is None else vision_cfg, num_frames=n_frames)
         text_cfg = dict(BERT_LARGE if text_cfg is None else text_cfg)
@@ -58,18 +74,11 @@ class ViCLIP:
         self._vision_cfg = vision_cfg
         self._text_cfg = text_cfg
 
-        root = Path(models_root)
-        ckpt = Path(checkpoint) if checkpoint else root / "InternVideo2-stage2_1b-224p-f4.pt"
-        if ckpt.exists():
-            import torch
-
-            sd = torch.load(ckpt, map_location="cpu")
-            sd = sd.get("module", sd.get("model", sd))
-            sd = {k: v.float().numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+        if sd is not None:
             self.params = convert_torch_checkpoint(
                 sd, num_frames=n_frames,
                 grid_hw=vision_cfg["img_size"] // vision_cfg["patch_size"])
-            print(f"viclip: loaded checkpoint {ckpt}")
+            print(f"viclip: loaded checkpoint {ckpt} (embed_dim {embed_dim})")
         else:
             print(f"viclip: WARNING no checkpoint at {ckpt} — RANDOM weights "
                   "(embeddings will be meaningless; fine for shape/dry runs)")
@@ -83,6 +92,20 @@ class ViCLIP:
             self.tokenizer = BertTokenizer(vocab)
         else:
             print(f"viclip: WARNING no vocab at {vocab} — get_txt_feat will hash-tokenize")
+
+        # tensor parallelism as a config path (SURVEY §2.10 TP row): with a
+        # mesh whose `model` axis > 1, the ViT tower's qkv/fc1 become
+        # column-parallel and proj/fc2 row-parallel (iv2_param_shardings);
+        # jit reads the param shardings off the arrays, XLA inserts the
+        # activation all-reduces over ICI
+        self.mesh = mesh
+        if mesh is not None and dict(mesh.shape).get("model", 1) > 1:
+            from genrl_tpu.models.internvideo2 import iv2_param_shardings
+
+            self.params = jax.device_put(
+                self.params, iv2_param_shardings(self.params, mesh))
+            print(f"viclip: tensor-parallel over model axis = "
+                  f"{dict(mesh.shape)['model']}")
 
         self._jit_vid = jax.jit(
             lambda p, f: self.model.apply(p, f, method="get_vid_features"))

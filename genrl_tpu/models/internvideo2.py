@@ -455,13 +455,16 @@ _GLOBAL: Dict[str, Any] = {}
 
 
 def get_global_instance(model: str = "internvideo2", models_root: str = "models",
-                        checkpoint: Optional[str] = None, use_flash: bool = True):
+                        checkpoint: Optional[str] = None, use_flash: bool = True,
+                        mesh=None):
     """Lazy singleton wrapper exposing get_txt_feat / get_vid_features /
-    preprocess + n_frames, like the reference's ViCLIPGlobalInstance."""
+    preprocess + n_frames, like the reference's ViCLIPGlobalInstance.
+    `mesh` (with a model axis > 1) turns on tensor-parallel execution of the
+    ViT tower; it only applies on first construction of the singleton."""
     key = f"{model}:{models_root}"
     if key not in _GLOBAL:
         from genrl_tpu.models.clip_wrapper import ViCLIP
 
         _GLOBAL[key] = ViCLIP(models_root=models_root, checkpoint=checkpoint,
-                              use_flash=use_flash)
+                              use_flash=use_flash, mesh=mesh)
     return _GLOBAL[key]

@@ -59,8 +59,17 @@ class Workspace:
         self.cfg = cfg
         from genrl_tpu.models.internvideo2 import get_global_instance
 
+        mesh = None
+        mesh_cfg = dict(cfg.get("mesh", {}))
+        if int(mesh_cfg.get("model", 1)) > 1:
+            # TP config path for the ViT tower (SURVEY §2.10): shards qkv/fc1
+            # column- and proj/fc2 row-parallel over the `model` mesh axis
+            from genrl_tpu.parallel import make_mesh
+
+            mesh = make_mesh(**mesh_cfg)
         self.clip = get_global_instance(cfg.get("viclip_model", "internvideo2"),
-                                        models_root=cfg.get("models_root", "models"))
+                                        models_root=cfg.get("models_root", "models"),
+                                        mesh=mesh)
         from genrl_tpu.envs.viclip_wrapper import ViClipWrapper
 
         # reuse the wrapper's episode processor without an env behind it

@@ -148,6 +148,17 @@ def main():
          flops_per_step=f3, mfu=(sps3 * f3 / peak) if f3 else None,
          note="batch 16x16, stickman fixture, bf16 (the bench.py config)")
 
+    # ---- config 3b: WM + connector at reference scale (48x48) -----------------------
+    # the reference pretrains at batch_size=48, batch_length=48
+    # (conf/defaults/genrl.yaml:30-31); VERDICT r2 asked for this number
+    state0 = init_on_host(agent, jax.random.PRNGKey(0))
+    step3b, args3b = make_step(True, True, None, 48, 48)
+    f3b = flops_of(step3b)
+    sps3b, _ = timed(step3b, args3b, state0, n=10)
+    emit("3b_wm_connector_48x48", steps_per_sec=sps3b,
+         flops_per_step=f3b, mfu=(sps3b * f3b / peak) if f3b else None,
+         note="batch 48x48 (reference pretrain scale), stickman fixture, bf16")
+
     # ---- config 4: behavior learning from language ------------------------------------
     state0 = init_on_host(agent, jax.random.PRNGKey(0))
     prompt = np.random.default_rng(0).normal(size=(512,)).astype(np.float32)

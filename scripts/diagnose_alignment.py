@@ -18,8 +18,12 @@ training in the loop:
   3. A/B of the alignment variants (align_sequence / align_initial / none,
      cosine vs max_cosine) on the same windows.
 
-Usage (TPU, ~5 min after compile cache):
-    python -u scripts/diagnose_alignment.py \
+Runs on the host CPU backend by default: every model here is small (the one
+IV2 video-embed forward is ~1 min on CPU), and eager reward math over a
+remote-TPU link would pay a round trip per op.
+
+Usage (~5 min, CPU):
+    JAX_PLATFORMS=cpu python -u scripts/diagnose_alignment.py \
         --wm evidence/pipeline/wm/stickman_walk \
         --dataset evidence/pipeline/dataset \
         --video evidence/pipeline/prompt_stickman_walk.mp4 \
@@ -30,12 +34,20 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 from pathlib import Path
 
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+# force the host CPU backend (the deployment sitecustomize pins a TPU plugin;
+# both the env var and the config update are needed, see CLAUDE.md)
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 
 def load_state(wm_dir: Path, dataset_dir: Path):

@@ -140,3 +140,33 @@ def test_report_text2video(tmp_path):
     v = next(iter(videos.values()))
     assert v.shape == (1, 8, 16, 16, 3)
     assert float(jnp.min(v)) >= 0 and float(jnp.max(v)) <= 1
+
+
+def test_viclip_wrapper_tp_config_path():
+    """TP as a *config path*: ViCLIP(mesh=model>1) shards its params at load
+    and the user-facing get_vid_features executes sharded (VERDICT r2 #6)."""
+    from genrl_tpu.models.clip_wrapper import ViCLIP
+    from genrl_tpu.parallel import make_mesh
+
+    mesh = make_mesh(data=4, model=2)
+    vit_tiny = dict(img_size=32, patch_size=8, embed_dim=64, depth=2,
+                    num_heads=2, mlp_ratio=4.0, num_frames=4,
+                    clip_embed_dim=32, sep_image_video_pos_embed=True)
+    bert_tiny = dict(vocab_size=128, hidden=32, layers=2, heads=2,
+                     intermediate=64)
+    clip = ViCLIP(models_root="/nonexistent", vision_cfg=vit_tiny,
+                  text_cfg=bert_tiny, use_flash=False, dtype=jnp.float32,
+                  n_frames=4, embed_dim=32, mesh=mesh)
+    # params actually sharded over the model axis
+    assert any(not x.sharding.is_fully_replicated
+               for x in jax.tree_util.tree_leaves(clip.params))
+    frames = np.random.default_rng(0).integers(
+        0, 255, (2, 4, 3, 32, 32)).astype(np.uint8)
+    feats = clip.get_vid_features(frames)
+    assert feats.shape == (2, 32) and np.isfinite(feats).all()
+    # unsharded singleton produces identical embeddings (TP is semantics-free)
+    clip_rep = ViCLIP(models_root="/nonexistent", vision_cfg=vit_tiny,
+                      text_cfg=bert_tiny, use_flash=False, dtype=jnp.float32,
+                      n_frames=4, embed_dim=32)
+    np.testing.assert_allclose(
+        feats, clip_rep.get_vid_features(frames), atol=2e-4)

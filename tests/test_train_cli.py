@@ -80,6 +80,43 @@ def test_behavior_phase_from_prompt_embed(tmp_path, replay_dir):
     assert "imag_actor_loss" in content
 
 
+def test_embed_whiten_phase(tmp_path, replay_dir):
+    """embed_whiten=True: dataset clip_video and the prompt embed get one
+    consistent mean-center+renorm (rewards/embed_stats.py), stats land next
+    to the snapshots, and a follow-up run can reuse them."""
+    wd = tmp_path / "wsw"
+    emb = np.random.default_rng(1).normal(size=(32,)).astype(np.float32)
+    p = tmp_path / "prompt.npy"
+    np.save(p, emb / np.linalg.norm(emb))
+    run(["train_world_model=True", "train_connector=True",
+         "agent.imag_reward_fn=video_text_reward", "embed_whiten=True",
+         f"+prompt_embed_path={p}"], wd, replay_dir, n=2)
+    stats_path = wd / "stickman_walk" / "snapshots" / "embed_stats.npz"
+    assert stats_path.exists()
+    content = (wd / "stickman_walk" / "train.csv").read_text()
+    assert "imag_actor_loss" in content
+
+    # unit math: whitening spreads a collapsed space, keeps padding at zero
+    from genrl_tpu.rewards.embed_stats import compute_embed_mean, whiten
+
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=(32,))
+    seqs = base + 0.01 * rng.normal(size=(10, 6, 32))
+    seqs /= np.linalg.norm(seqs, axis=-1, keepdims=True)
+    seqs[0, :2] = 0.0  # padded rows excluded from the statistic
+    mean = compute_embed_mean(list(seqs.astype(np.float32)))
+    w = whiten(seqs.astype(np.float32), mean)
+    assert np.all(w[0, :2] == 0.0)
+    flat = w.reshape(-1, 32)
+    flat = flat[np.linalg.norm(flat, axis=-1) > 0]
+    np.testing.assert_allclose(np.linalg.norm(flat, axis=-1), 1.0, atol=1e-5)
+    raw = seqs.reshape(-1, 32)[2:]
+    raw_cos = raw @ raw.T
+    white_cos = flat @ flat.T
+    off = ~np.eye(len(flat), dtype=bool)
+    assert white_cos[off].mean() < raw_cos[off].mean() - 0.3
+
+
 def test_data_free_phase(tmp_path, replay_dir):
     wd = tmp_path / "ws3"
     emb = np.random.default_rng(1).normal(size=(32,)).astype(np.float32)
@@ -92,6 +129,35 @@ def test_data_free_phase(tmp_path, replay_dir):
     )
     content = (wd / "stickman_walk" / "train.csv").read_text()
     assert "imag_actor_loss" in content
+
+
+def test_finetune_phase(tmp_path, replay_dir):
+    """finetune=True (reference: GenRLAgent.finetune_mode, agent/genrl.py:
+    55-59): WM pretrain -> finetune run loads the snapshot, trains the reward
+    head (grad_heads + reward) and updates the imag behavior with env reward,
+    with connector updates stopped."""
+    wd = tmp_path / "pre"
+    run(["train_world_model=True", "train_connector=True"], wd, replay_dir, n=3)
+    wd2 = tmp_path / "ft"
+    run(["finetune=True",
+         f"snapshot_load_dir={wd / 'stickman_walk' / 'snapshots'}"],
+        wd2, replay_dir, n=3)
+    content = (wd2 / "stickman_walk" / "train.csv").read_text()
+    header = content.splitlines()[0]
+    assert "imag_actor_loss" in header          # imag behavior trained
+    assert "connector_loss" not in header       # connector frozen
+    assert "reward_loss" in header              # reward head in grad_heads
+
+    # the agent-side switch: reward head joins grad_heads
+    from genrl_tpu.agents.assembly import make_agent
+    from genrl_tpu.configs import PRESETS, TRAIN_BASE
+    from genrl_tpu.utils.config import compose
+
+    cfg = compose(PRESETS, TRAIN_BASE, TINY + ["finetune=True"])
+    agent = make_agent(cfg, {"observation": (16, 16, 3)}, 4)
+    assert "reward" not in agent.wm.grad_heads
+    agent.finetune_mode()
+    assert "reward" in agent.wm.grad_heads
 
 
 def test_reward_registry_dispatch():

@@ -75,6 +75,21 @@ class Workspace:
             n_avail = len(jax.devices()) // max(1, int(mesh_cfg.get("model", 1)))
             mesh_cfg["data"] = math.gcd(int(cfg.batch_size), n_avail)
         self.mesh = make_mesh(**mesh_cfg)
+        # embedding whitening (see genrl_tpu/rewards/embed_stats.py): one
+        # consistent mean-center+renorm over the dataset's clip_video and the
+        # prompt embed; stats persist next to the snapshots so behavior /
+        # data-free phases reuse the exact pretrain statistics
+        self._embed_mean = None
+        transforms = None
+        if cfg.get("embed_whiten", False):
+            from genrl_tpu.rewards import embed_stats as _es
+
+            def _whiten_clip(buf):
+                self._embed_mean = _es.compute_embed_mean(buf)
+                _es.save_stats(self.work_dir / "snapshots", self._embed_mean)
+                return _es.whiten(buf, self._embed_mean)
+
+            transforms = {"clip_video": _whiten_clip}
         if self.replay is not None and cfg.get("replay_device", True):
             # device-resident store: sampling fuses into the train jit, zero
             # steady-state H2D (the streaming path is feed-bound on slow host
@@ -86,13 +101,53 @@ class Workspace:
                 self.device_replay = DeviceReplay(
                     self._replay_load_dir, int(cfg.batch_length),
                     minlen=int(cfg.replay.minlen), load_recursive=True,
-                    sharding=replicated(self.mesh))
+                    sharding=replicated(self.mesh), transforms=transforms)
                 print(f"replay: device-resident "
                       f"({self.device_replay.stats['loaded_episodes']} episodes)")
             except (MemoryError, ValueError) as e:
                 print(f"replay: streaming (device store unavailable: {e})")
+        if cfg.get("embed_whiten", False):
+            from genrl_tpu.rewards import embed_stats as _es
+
+            if self._embed_mean is not None and self.replay is not None:
+                # device store already whitened its copy — keep the host-side
+                # streaming buffer (report/eval consumers) consistent
+                mean = self._embed_mean
+                self.replay.transform_key(
+                    "clip_video", lambda x: _es.whiten(x, mean))
+            elif self.replay is not None:
+                seqs = [ep["clip_video"] for ep in self.replay.episodes()
+                        if "clip_video" in ep]
+                if seqs:
+                    self._embed_mean = _es.compute_embed_mean(seqs)
+                    _es.save_stats(self.work_dir / "snapshots", self._embed_mean)
+                    self.replay.transform_key(
+                        "clip_video",
+                        lambda x: _es.whiten(x, self._embed_mean))
+            if self._embed_mean is None:
+                # data-free / embed-less phase: reuse the pretrain statistics
+                load_dir = cfg.get("snapshot_load_dir")
+                if not load_dir:
+                    raise SystemExit(
+                        "embed_whiten=True without dataset embeddings needs "
+                        "snapshot_load_dir pointing at a pretrain run "
+                        "(embed_stats.npz)")
+                self._embed_mean = _es.load_stats(load_dir)["mean"]
         obs_space, act_dim = self._spaces()
         self.agent = make_agent(cfg, obs_space, act_dim)
+        if cfg.get("finetune", False):
+            # finetune phase (reference: GenRLAgent.finetune_mode,
+            # agent/genrl.py:55-59): the imag behavior becomes the acting
+            # behavior, connector updates stop, the reward head joins the
+            # gradient heads and trains on env data. Must happen before the
+            # template init so the jitted loss sees the new grad_heads.
+            from genrl_tpu.agents.assembly import GenRLAgent as _G
+
+            if not isinstance(self.agent, _G):
+                raise SystemExit("finetune=True requires agent=genrl")
+            self.agent.finetune_mode()
+            print("finetune mode: reward head in grad_heads, connector frozen,"
+                  " imag behavior trains on env reward")
 
         self.snap = SnapshotManager(self.work_dir / "snapshots")
         key = jax.random.PRNGKey(int(cfg.seed))
@@ -215,13 +270,22 @@ class Workspace:
         path = cfg.get("prompt_embed_path")
         if path:
             emb = np.load(path).reshape(-1).astype(np.float32)
-            return emb / max(np.linalg.norm(emb), 1e-8)
-        from genrl_tpu.models.internvideo2 import get_global_instance
-        from genrl_tpu.rewards import resolve_reward
+            emb = emb / max(np.linalg.norm(emb), 1e-8)
+        else:
+            from genrl_tpu.models.internvideo2 import get_global_instance
+            from genrl_tpu.rewards import resolve_reward
 
-        spec = resolve_reward(cfg.agent.get("imag_reward_fn"))
-        clip = get_global_instance(cfg.get("viclip_model", "internvideo2"))
-        return spec.prompt_embed(clip, cfg, cfg.task)
+            spec = resolve_reward(cfg.agent.get("imag_reward_fn"))
+            clip = get_global_instance(cfg.get("viclip_model", "internvideo2"),
+                                       models_root=cfg.get("models_root", "models"))
+            emb = spec.prompt_embed(clip, cfg, cfg.task)
+        if self._embed_mean is not None:
+            # same whitening as the stored clip_video sequences (the
+            # connector's conditioning space) — see rewards/embed_stats.py
+            from genrl_tpu.rewards.embed_stats import whiten
+
+            emb = whiten(np.asarray(emb).reshape(-1), self._embed_mean)
+        return emb
 
     # ---- eval --------------------------------------------------------------------------
     def _eval_pool(self):
@@ -305,18 +369,30 @@ class Workspace:
 
         use_behavior = cfg.agent.get("imag_reward_fn") is not None
         target = None
+        imag_env = False
         if use_behavior:
-            B = int(cfg.batch_size) * int(cfg.batch_length)
-            embed = self._prompt_embed()
-            args = dict(cfg.agent.imag_reward_args)
-            target = self.agent.make_unconditional_target(
-                self.state, jax.numpy.asarray(embed), batch=B, key=self._next_key(),
-                sample_for_target=bool(args.get("sample_for_target", False)),
-                skip_first_target=bool(args.get("skip_first_target", True)),
-            )
+            from genrl_tpu.rewards import resolve_reward
+
+            spec = resolve_reward(cfg.agent.imag_reward_fn)
+            if spec.needs_target:
+                B = int(cfg.batch_size) * int(cfg.batch_length)
+                embed = self._prompt_embed()
+                args = dict(cfg.agent.imag_reward_args)
+                target = self.agent.make_unconditional_target(
+                    self.state, jax.numpy.asarray(embed), batch=B, key=self._next_key(),
+                    sample_for_target=bool(args.get("sample_for_target", False)),
+                    skip_first_target=bool(args.get("skip_first_target", True)),
+                )
+            else:
+                # imag_reward_fn=env_reward: imag behavior trained on the
+                # reward head, no prompt target (reference resolves the same
+                # name through update_imag_behavior, agent/genrl.py:108-124)
+                imag_env = True
 
         twm = bool(cfg.get("train_world_model", False))
         tconn = bool(cfg.get("train_connector", False))
+        if cfg.get("finetune", False):
+            twm = True  # finetuning trains WM (incl. reward head) on env data
         if not (twm or tconn or use_behavior):
             raise SystemExit(
                 "nothing to train: set train_world_model/train_connector or agent.imag_reward_fn")
@@ -328,7 +404,7 @@ class Workspace:
             if isinstance(self.agent, GenRLAgent):
                 agent_step = lambda s, d, k: self.agent.train_step(
                     s, d, k, target_seq=target, train_world_model=twm,
-                    train_connector=tconn)
+                    train_connector=tconn, imag_env_reward=imag_env)
             else:
                 agent_step = lambda s, d, k: self.agent.train_step(s, d, k)
             # the PRNG key is derived INSIDE the jit from the host step count:
@@ -346,26 +422,58 @@ class Workspace:
                 # dispatch (~a few ms on a slow host, a full RTT on a remote
                 # TPU link) is paid once per chunk instead of once per grad
                 # step — the device profile shows 5 ms/step of compute, so at
-                # K=8 the host has 40 ms of slack per dispatch. Metrics are
-                # averaged over the chunk.
+                # K=8 the host has 40 ms of slack per dispatch.
+                #
+                # Two tail cuts (r2 profile: 1.37 of 5.03 ms/step was window
+                # sampling + metric reductions):
+                #   * the K batch windows are gathered ONCE in the program
+                #     prologue ([K*B, L] gather, reshaped to [K, B, L]) and
+                #     fed to the scan as xs, instead of K separate gathers
+                #     interleaved with the updates;
+                #   * only the LAST step of the chunk computes metrics — the
+                #     first K-1 scan iterations return none, so XLA dead-code
+                #     eliminates their metric reductions (grad norms,
+                #     entropies, KL means). Logged metrics are thus the
+                #     chunk's last-step values, not a chunk mean; the logger's
+                #     meters average across dispatches either way.
                 def make_fused(n):
                     # the episode store rides in as ARGUMENTS, not closure:
                     # closed-over jax arrays are baked into the HLO as
                     # constants, and a multi-GB store blows the program (and
                     # any remote compile service's request limit) apart
-                    def fused(s, step0, arrays, ep_len):
-                        def body(s, i):
-                            k1, k2 = jax.random.split(jax.random.fold_in(
-                                base_key, i))
-                            d = sample_windows(arrays, ep_len, k1,
-                                               int(cfg.batch_size),
-                                               int(cfg.batch_length), bs)
-                            return agent_step(s, d, k2)
+                    B, L = int(cfg.batch_size), int(cfg.batch_length)
+                    from jax.sharding import PartitionSpec as _P
 
-                        s, ms = jax.lax.scan(body, s, step0 + jax.numpy.arange(n))
+                    step_bs = (jax.sharding.NamedSharding(
+                        self.mesh, _P(None, "data")) if bs is not None else None)
+
+                    gather_key = jax.random.PRNGKey(int(cfg.seed) + 5678)
+
+                    def fused(s, step0, arrays, ep_len):
+                        k_gather = jax.random.fold_in(gather_key, step0)
+                        d_all = sample_windows(arrays, ep_len, k_gather,
+                                               n * B, L)
+                        d_all = jax.tree_util.tree_map(
+                            lambda x: x.reshape((n, B) + x.shape[1:]), d_all)
+                        if step_bs is not None:
+                            d_all = jax.lax.with_sharding_constraint(
+                                d_all, step_bs)
+                        keys = jax.vmap(
+                            lambda i: jax.random.fold_in(base_key, i)
+                        )(step0 + jax.numpy.arange(n))
+
+                        def body(s, x):
+                            d, k = x
+                            s, _ = agent_step(s, d, k)
+                            return s, None
+
+                        head = jax.tree_util.tree_map(lambda x: x[:-1], (d_all, keys))
+                        tail = jax.tree_util.tree_map(lambda x: x[-1], (d_all, keys))
+                        if n > 1:
+                            s, _ = jax.lax.scan(body, s, head)
+                        s, ms = agent_step(s, *tail)
                         return s, jax.tree_util.tree_map(
-                            lambda x: jax.numpy.mean(
-                                x.astype(jax.numpy.float32), 0), ms)
+                            lambda x: x.astype(jax.numpy.float32), ms)
 
                     return jax.jit(fused, donate_argnums=(0,))
 
@@ -383,7 +491,7 @@ class Workspace:
             df_base = jax.random.PRNGKey(int(cfg.seed) + 4321)
 
             def make_data_free(n):
-                def body(s, i):
+                def one(s, i):
                     return self.agent.train_step_data_free(
                         s, jax.random.fold_in(df_base, i), target,
                         int(cfg.batch_size), int(cfg.batch_length),
@@ -392,10 +500,18 @@ class Workspace:
                         int(cfg.get("imag_warmup_steps", 5)))
 
                 def fused(s, step0):
-                    s, ms = jax.lax.scan(body, s, step0 + jax.numpy.arange(n))
+                    # metrics only from the chunk's last step (the lean scan
+                    # body lets XLA DCE the metric reductions, see make_fused)
+                    def body(s, i):
+                        s, _ = one(s, i)
+                        return s, None
+
+                    if n > 1:
+                        s, _ = jax.lax.scan(
+                            body, s, step0 + jax.numpy.arange(n - 1))
+                    s, ms = one(s, step0 + n - 1)
                     return s, jax.tree_util.tree_map(
-                        lambda x: jax.numpy.mean(
-                            x.astype(jax.numpy.float32), 0), ms)
+                        lambda x: x.astype(jax.numpy.float32), ms)
 
                 return jax.jit(fused, donate_argnums=(0,))
 
