@@ -356,10 +356,15 @@ class ReplayBuffer:
             self._workers.append(t)
 
         def gen():
+            from genrl_tpu.parallel.mesh import put_process_local_batch
+
             while True:
                 batch = q.get()
                 if sharding is not None:
-                    batch = jax.device_put(batch, sharding)
+                    # multi-host: this process's batch is its local slice of
+                    # the global sharded batch (each host samples from its
+                    # own episode shard); single-host: plain device_put
+                    batch = put_process_local_batch(batch, sharding)
                 yield batch
 
         return gen()

@@ -17,8 +17,28 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Multi-host entry point (SURVEY §2.10 comm-backend row): one jax
+    process per host, all chips of the pod/slice joined into one global
+    device set. Must run before any other jax call; a no-op when the runtime
+    is already initialized or single-process (args all None + no cluster env
+    autodetection). On TPU pods the arguments are usually autodetected from
+    the environment and can stay None."""
+    if getattr(initialize_distributed, "_done", False):
+        return
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    initialize_distributed._done = True
+
+
 def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
-    """Build a (data, model) mesh. data=-1 uses all remaining devices."""
+    """Build a (data, model) mesh. data=-1 uses all remaining devices.
+    Under multi-process execution `jax.devices()` is the GLOBAL device set,
+    so the mesh spans hosts; collectives ride ICI within a slice and DCN
+    across slices without further configuration."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if data == -1:
@@ -38,10 +58,23 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_process_local_batch(batch, sharding: NamedSharding):
+    """Place a host batch under `sharding`. Single-process: a plain
+    device_put. Multi-process: each host contributes its LOCAL slice of the
+    global batch via jax.make_array_from_process_local_data (the per-host
+    replay shard feeds the per-host chips; the global array is assembled
+    without any cross-host copy). Callers pass a local batch of size
+    global_batch // jax.process_count()."""
+    if jax.process_count() == 1:
+        return jax.device_put(batch, sharding)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)), batch)
+
+
 def shard_batch(batch: Dict[str, Any], mesh: Mesh):
     """Place a host batch with the leading (batch) axis sharded over `data`."""
-    sh = batch_sharding(mesh)
-    return jax.device_put(batch, sh)
+    return put_process_local_batch(batch, batch_sharding(mesh))
 
 
 def shard_params(params, mesh: Mesh):

@@ -236,8 +236,12 @@ class Workspace:
     # ---- helpers -------------------------------------------------------------------
     def _replay_iter(self):
         if self.replay_iter is None and self.replay is not None:
+            # multi-host: each process samples its local share of the global
+            # batch from its own episode shard (put_process_local_batch in
+            # the feed assembles the global array without cross-host copies)
+            local_bs = int(self.cfg.batch_size) // jax.process_count()
             self.replay_iter = self.replay.dataset(
-                int(self.cfg.batch_size), int(self.cfg.batch_length),
+                local_bs, int(self.cfg.batch_length),
                 sharding=self.batch_sharding, prefetch=4, num_workers=2)
         return self.replay_iter
 
@@ -624,6 +628,12 @@ def main(argv=None):
 
         faulthandler.dump_traceback_later(
             int(os.environ["GENRL_WATCHDOG"]), repeat=True, exit=False)
+    if os.environ.get("GENRL_DISTRIBUTED"):
+        # multi-host: join this process into the global jax runtime BEFORE
+        # any device access (coordinator/rank autodetected on TPU pods)
+        from genrl_tpu.parallel import initialize_distributed
+
+        initialize_distributed()
     argv = list(sys.argv[1:] if argv is None else argv)
     cfg = compose(PRESETS, TRAIN_BASE, argv)
     ws = Workspace(cfg)
