@@ -66,15 +66,37 @@ def main():
     # param/opt pytree copies (measured 10.9 -> 7.9 ms/step on v5e). The
     # episode store rides in as ARGUMENTS like train.py's make_fused —
     # closed-over jax arrays would be baked into the HLO as constants.
+    # Tail cuts (mirrors train.py make_fused): all CHUNK batch windows are
+    # gathered ONCE in the program prologue and fed to the scan as xs, and
+    # only the chunk's LAST step computes metrics — the lean scan body lets
+    # XLA dead-code-eliminate the metric reductions of the first CHUNK-1
+    # steps (the r2 profile showed 1.37 of 5.03 ms/step was sampling +
+    # metric bookkeeping).
     def chunk(s, step0, arrays, ep_len):
-        def body(s, i):
-            k_sample, k_train = jax.random.split(jax.random.fold_in(base_key, i))
-            batch = sample_windows(arrays, ep_len, k_sample,
-                                   BATCH, LENGTH, out_sharding)
-            return agent.train_step(s, batch, k_train, target_seq=None,
-                                    train_world_model=True, train_connector=True)
+        k_gather = jax.random.fold_in(jax.random.PRNGKey(5678), step0)
+        d_all = sample_windows(arrays, ep_len, k_gather, CHUNK * BATCH, LENGTH,
+                               None)
+        d_all = jax.tree_util.tree_map(
+            lambda x: x.reshape((CHUNK, BATCH) + x.shape[1:]), d_all)
+        if out_sharding is not None:
+            from jax.sharding import PartitionSpec as _P
 
-        s, ms = jax.lax.scan(body, s, step0 + jax.numpy.arange(CHUNK))
+            d_all = jax.lax.with_sharding_constraint(
+                d_all, jax.sharding.NamedSharding(mesh, _P(None, "data")))
+        keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(
+            step0 + jax.numpy.arange(CHUNK))
+
+        def body(s, x):
+            d, k = x
+            s, _ = agent.train_step(s, d, k, target_seq=None,
+                                    train_world_model=True, train_connector=True)
+            return s, None
+
+        head = jax.tree_util.tree_map(lambda x: x[:-1], (d_all, keys))
+        tail = jax.tree_util.tree_map(lambda x: x[-1], (d_all, keys))
+        s, _ = jax.lax.scan(body, s, head)
+        s, ms = agent.train_step(s, *tail, target_seq=None,
+                                 train_world_model=True, train_connector=True)
         return s, ms
 
     jit_chunk = jax.jit(chunk, donate_argnums=(0,))
@@ -82,17 +104,17 @@ def main():
 
     for i in range(0, WARMUP_STEPS, CHUNK):
         state, metrics = step(state, i)
-    float(np.asarray(metrics["model_loss"][-1]))  # full sync (block_until_ready
+    float(np.asarray(metrics["model_loss"]))  # full sync (block_until_ready
     # does not reliably synchronize through a remote-TPU tunnel)
 
     t0 = time.perf_counter()
     for i in range(WARMUP_STEPS, WARMUP_STEPS + MEASURE_STEPS, CHUNK):
         state, metrics = step(state, i)
-    float(np.asarray(metrics["model_loss"][-1]))  # forces completion of the chain
+    float(np.asarray(metrics["model_loss"]))  # forces completion of the chain
     dt = time.perf_counter() - t0
 
     steps_per_sec = MEASURE_STEPS / dt
-    assert np.isfinite(float(np.asarray(metrics["model_loss"][-1])))
+    assert np.isfinite(float(np.asarray(metrics["model_loss"])))
     print(json.dumps({
         "metric": "wm_connector_grad_steps_per_sec",
         "value": round(steps_per_sec, 3),

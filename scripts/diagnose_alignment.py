@@ -156,6 +156,14 @@ def main():
     embed = np.asarray(clip.get_vid_features_from_file(str(args.video)))
     embed = embed.reshape(-1).astype(np.float32)
     embed /= max(np.linalg.norm(embed), 1e-8)
+    stats_path = args.wm / "snapshots" / "embed_stats.npz"
+    if stats_path.exists():
+        # the connector was trained on whitened clip_video (embed_whiten=True)
+        # — the prompt must live in the same reparameterized space
+        from genrl_tpu.rewards.embed_stats import load_stats, whiten
+
+        embed = whiten(embed, load_stats(args.wm / "snapshots")["mean"])
+        print("prompt embed whitened with the run's embed_stats.npz")
     print(f"video prompt embed: norm=1, dim={embed.shape[0]}")
 
     key = jax.random.PRNGKey(0)
