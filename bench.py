@@ -34,7 +34,7 @@ def main():
 
     from genrl_tpu.agents.assembly import GenRLAgent
     from genrl_tpu.configs import TRAIN_BASE
-    from genrl_tpu.data.device_replay import DeviceReplay, sample_windows
+    from genrl_tpu.data.device_replay import DeviceReplay
     from genrl_tpu.parallel import make_mesh, batch_sharding, replicated, shard_params
     from genrl_tpu.utils.config import Config
 
@@ -66,38 +66,19 @@ def main():
     # param/opt pytree copies (measured 10.9 -> 7.9 ms/step on v5e). The
     # episode store rides in as ARGUMENTS like train.py's make_fused —
     # closed-over jax arrays would be baked into the HLO as constants.
-    # Tail cuts (mirrors train.py make_fused): all CHUNK batch windows are
-    # gathered ONCE in the program prologue and fed to the scan as xs, and
-    # only the chunk's LAST step computes metrics — the lean scan body lets
-    # XLA dead-code-eliminate the metric reductions of the first CHUNK-1
-    # steps (the r2 profile showed 1.37 of 5.03 ms/step was sampling +
-    # metric bookkeeping).
-    def chunk(s, step0, arrays, ep_len):
-        k_gather = jax.random.fold_in(jax.random.PRNGKey(5678), step0)
-        d_all = sample_windows(arrays, ep_len, k_gather, CHUNK * BATCH, LENGTH,
-                               None)
-        d_all = jax.tree_util.tree_map(
-            lambda x: x.reshape((CHUNK, BATCH) + x.shape[1:]), d_all)
-        if out_sharding is not None:
-            from jax.sharding import PartitionSpec as _P
+    # The dispatch body is the SAME code train.py executes (fused_chunk:
+    # prologue gather of all CHUNK windows + metrics only on the last step,
+    # XLA dead-code-eliminates the rest) — the benchmark measures exactly
+    # the production shape.
+    from genrl_tpu.data.device_replay import fused_chunk
+    from jax.sharding import PartitionSpec as _P
 
-            d_all = jax.lax.with_sharding_constraint(
-                d_all, jax.sharding.NamedSharding(mesh, _P(None, "data")))
-        keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(
-            step0 + jax.numpy.arange(CHUNK))
-
-        def body(s, x):
-            d, k = x
-            s, _ = agent.train_step(s, d, k, target_seq=None,
-                                    train_world_model=True, train_connector=True)
-            return s, None
-
-        head = jax.tree_util.tree_map(lambda x: x[:-1], (d_all, keys))
-        tail = jax.tree_util.tree_map(lambda x: x[-1], (d_all, keys))
-        s, _ = jax.lax.scan(body, s, head)
-        s, ms = agent.train_step(s, *tail, target_seq=None,
-                                 train_world_model=True, train_connector=True)
-        return s, ms
+    step_bs = (jax.sharding.NamedSharding(mesh, _P(None, "data"))
+               if out_sharding is not None else None)
+    agent_step = lambda s, d, k: agent.train_step(
+        s, d, k, target_seq=None, train_world_model=True, train_connector=True)
+    chunk = fused_chunk(agent_step, CHUNK, BATCH, LENGTH, base_key,
+                        jax.random.PRNGKey(5678), batch_sharding=step_bs)
 
     jit_chunk = jax.jit(chunk, donate_argnums=(0,))
     step = lambda s, i: jit_chunk(s, i, replay.arrays, replay.ep_len)

@@ -86,8 +86,11 @@ def episode_windows(dataset_dir: Path, W: int, per_ep: int, seed: int = 0):
             eps.append((r, f))
     eps.sort()
     n = len(eps)
-    picks = [eps[i] for i in (list(range(4)) + [n // 2 - 2, n // 2 - 1, n // 2,
-                                                n // 2 + 1] + list(range(n - 4, n)))]
+    # best/mid/worst strata, clamped + deduped for small datasets (n < 12)
+    idx = (list(range(4)) + [n // 2 - 2, n // 2 - 1, n // 2, n // 2 + 1]
+           + list(range(n - 4, n)))
+    idx = sorted({min(max(i, 0), n - 1) for i in idx})
+    picks = [eps[i] for i in idx]
     batch = {"observation": [], "action": [], "is_first": []}
     win_returns, ep_returns = [], []
     for ret, f in picks:
@@ -98,6 +101,8 @@ def episode_windows(dataset_dir: Path, W: int, per_ep: int, seed: int = 0):
             act = np.asarray(ep["action"], np.float32)
             rew = np.asarray(ep["reward"], np.float64).reshape(-1)
         T = obs.shape[0]
+        if T < W:  # episode shorter than the diagnosis window
+            continue
         for _ in range(per_ep):
             s = int(rng.integers(0, T - W + 1))
             batch["observation"].append(obs[s:s + W])

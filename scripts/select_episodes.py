@@ -27,14 +27,15 @@ def main():
     # episode index is the first '-' field of the reference filename grammar
     eps = sorted(buffer_dir.glob("*.npz"),
                  key=lambda p: int(p.name.split("-", 1)[0]))
+    n_recent = max(0, min(n_recent, n_total))
     if len(eps) <= n_total:
         chosen = eps
     else:
-        recent = eps[-n_recent:]
+        recent = eps[len(eps) - n_recent:] if n_recent else []
         rest = eps[: len(eps) - n_recent]
-        n_strided = n_total - len(recent)
+        n_strided = max(0, n_total - len(recent))
         stride = max(1, len(rest) // max(1, n_strided))
-        strided = rest[::stride][:n_strided]
+        strided = rest[::stride][:n_strided] if n_strided else []
         chosen = strided + recent
     out_dir.mkdir(parents=True, exist_ok=True)
     for p in chosen:

@@ -40,9 +40,13 @@ def _smoke(task, img_size=32):
     ts, obs = env.step(action)
     assert not obs["is_first"]
     assert np.isfinite(obs["reward"])
-    # tolerance-shaped rewards in [0, 1] summed over action_repeat=2 steps
-    # (kitchen dense rewards can exceed; jaco sparse in [0, 1])
-    assert -10.0 <= obs["reward"] <= 10.0
+    if task.startswith("kitchen"):
+        # kitchen dense rewards are unbounded distances, not tolerances
+        assert -10.0 <= obs["reward"] <= 10.0
+    else:
+        # tolerance-shaped rewards in [0, 1] summed over action_repeat=2
+        # steps (dmc domains and jaco reach alike)
+        assert 0.0 <= obs["reward"] <= 2.0 + 1e-6
     assert obs["action"].shape == action.shape
 
 

@@ -77,16 +77,25 @@ class Workspace:
         self.mesh = make_mesh(**mesh_cfg)
         # embedding whitening (see genrl_tpu/rewards/embed_stats.py): one
         # consistent mean-center+renorm over the dataset's clip_video and the
-        # prompt embed; stats persist next to the snapshots so behavior /
-        # data-free phases reuse the exact pretrain statistics
+        # prompt embed. Stats priority: (1) the pretrain run's embed_stats.npz
+        # next to snapshot_load_dir — the connector was trained in THAT
+        # whitened space, so behavior/finetune/data-free phases must reuse it
+        # even when their own dataset differs; (2) computed from this run's
+        # dataset. Either way the stats are saved next to this run's
+        # snapshots so downstream phases can chain.
         self._embed_mean = None
         transforms = None
         if cfg.get("embed_whiten", False):
             from genrl_tpu.rewards import embed_stats as _es
 
+            load_dir = cfg.get("snapshot_load_dir")
+            if load_dir and (Path(load_dir) / _es.STATS_FILENAME).exists():
+                self._embed_mean = _es.load_stats(load_dir)["mean"]
+                print(f"embed whitening: pretrain stats reused from {load_dir}")
+
             def _whiten_clip(buf):
-                self._embed_mean = _es.compute_embed_mean(buf)
-                _es.save_stats(self.work_dir / "snapshots", self._embed_mean)
+                if self._embed_mean is None:
+                    self._embed_mean = _es.compute_embed_mean(buf)
                 return _es.whiten(buf, self._embed_mean)
 
             transforms = {"clip_video": _whiten_clip}
@@ -109,30 +118,23 @@ class Workspace:
         if cfg.get("embed_whiten", False):
             from genrl_tpu.rewards import embed_stats as _es
 
-            if self._embed_mean is not None and self.replay is not None:
-                # device store already whitened its copy — keep the host-side
-                # streaming buffer (report/eval consumers) consistent
-                mean = self._embed_mean
-                self.replay.transform_key(
-                    "clip_video", lambda x: _es.whiten(x, mean))
-            elif self.replay is not None:
+            if self._embed_mean is None and self.replay is not None:
                 seqs = [ep["clip_video"] for ep in self.replay.episodes()
                         if "clip_video" in ep]
                 if seqs:
                     self._embed_mean = _es.compute_embed_mean(seqs)
-                    _es.save_stats(self.work_dir / "snapshots", self._embed_mean)
-                    self.replay.transform_key(
-                        "clip_video",
-                        lambda x: _es.whiten(x, self._embed_mean))
             if self._embed_mean is None:
-                # data-free / embed-less phase: reuse the pretrain statistics
-                load_dir = cfg.get("snapshot_load_dir")
-                if not load_dir:
-                    raise SystemExit(
-                        "embed_whiten=True without dataset embeddings needs "
-                        "snapshot_load_dir pointing at a pretrain run "
-                        "(embed_stats.npz)")
-                self._embed_mean = _es.load_stats(load_dir)["mean"]
+                raise SystemExit(
+                    "embed_whiten=True without dataset embeddings needs "
+                    "snapshot_load_dir pointing at a pretrain run "
+                    "(embed_stats.npz)")
+            if self.replay is not None:
+                # keep the host-side streaming buffer (report/eval consumers)
+                # in the same whitened space as the device store / prompt
+                mean = self._embed_mean
+                self.replay.transform_key(
+                    "clip_video", lambda x: _es.whiten(x, mean))
+            _es.save_stats(self.work_dir / "snapshots", self._embed_mean)
         obs_space, act_dim = self._spaces()
         self.agent = make_agent(cfg, obs_space, act_dim)
         if cfg.get("finetune", False):
@@ -236,10 +238,17 @@ class Workspace:
     # ---- helpers -------------------------------------------------------------------
     def _replay_iter(self):
         if self.replay_iter is None and self.replay is not None:
+            import jax
+
             # multi-host: each process samples its local share of the global
             # batch from its own episode shard (put_process_local_batch in
             # the feed assembles the global array without cross-host copies)
-            local_bs = int(self.cfg.batch_size) // jax.process_count()
+            n_proc = jax.process_count()
+            if int(self.cfg.batch_size) % n_proc:
+                raise SystemExit(
+                    f"batch_size {self.cfg.batch_size} must divide evenly "
+                    f"across {n_proc} processes")
+            local_bs = int(self.cfg.batch_size) // n_proc
             self.replay_iter = self.replay.dataset(
                 local_bs, int(self.cfg.batch_length),
                 sharding=self.batch_sharding, prefetch=4, num_workers=2)
@@ -441,44 +450,17 @@ class Workspace:
                 #     chunk's last-step values, not a chunk mean; the logger's
                 #     meters average across dispatches either way.
                 def make_fused(n):
-                    # the episode store rides in as ARGUMENTS, not closure:
-                    # closed-over jax arrays are baked into the HLO as
-                    # constants, and a multi-GB store blows the program (and
-                    # any remote compile service's request limit) apart
-                    B, L = int(cfg.batch_size), int(cfg.batch_length)
                     from jax.sharding import PartitionSpec as _P
+
+                    from genrl_tpu.data.device_replay import fused_chunk
 
                     step_bs = (jax.sharding.NamedSharding(
                         self.mesh, _P(None, "data")) if bs is not None else None)
-
-                    gather_key = jax.random.PRNGKey(int(cfg.seed) + 5678)
-
-                    def fused(s, step0, arrays, ep_len):
-                        k_gather = jax.random.fold_in(gather_key, step0)
-                        d_all = sample_windows(arrays, ep_len, k_gather,
-                                               n * B, L)
-                        d_all = jax.tree_util.tree_map(
-                            lambda x: x.reshape((n, B) + x.shape[1:]), d_all)
-                        if step_bs is not None:
-                            d_all = jax.lax.with_sharding_constraint(
-                                d_all, step_bs)
-                        keys = jax.vmap(
-                            lambda i: jax.random.fold_in(base_key, i)
-                        )(step0 + jax.numpy.arange(n))
-
-                        def body(s, x):
-                            d, k = x
-                            s, _ = agent_step(s, d, k)
-                            return s, None
-
-                        head = jax.tree_util.tree_map(lambda x: x[:-1], (d_all, keys))
-                        tail = jax.tree_util.tree_map(lambda x: x[-1], (d_all, keys))
-                        if n > 1:
-                            s, _ = jax.lax.scan(body, s, head)
-                        s, ms = agent_step(s, *tail)
-                        return s, jax.tree_util.tree_map(
-                            lambda x: x.astype(jax.numpy.float32), ms)
-
+                    fused = fused_chunk(
+                        agent_step, n, int(cfg.batch_size),
+                        int(cfg.batch_length), base_key,
+                        jax.random.PRNGKey(int(cfg.seed) + 5678),
+                        batch_sharding=step_bs)
                     return jax.jit(fused, donate_argnums=(0,))
 
                 chunk_jits = {}
