@@ -2,6 +2,9 @@
 # Auto-resume the round-3 pipeline when the TPU tunnel returns.
 # The axon relay (localhost:8082+) died mid-round; this waits for it to come
 # back, then runs the remaining stages sequentially with full logging.
+# Ordering: bench.py first (validates the refactored driver artifact in 8
+# minutes), then the WM48 -> behavior headline chain, then the remaining
+# perf/finetune artifacts. Budgets trimmed to fit the remaining round time.
 set -x
 cd /root/repo
 export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
@@ -13,44 +16,45 @@ while ! ss -tln 2>/dev/null | grep -q ':8082 '; do
     sleep 45
 done
 echo "relay back at $(date -u +%H:%M:%S); probing jax..." >> runs/auto_resume.status
-# one quick probe: if jax can't see the device within 180s, keep waiting
 until timeout 180 python -u -c "import jax; print(jax.devices())" \
       >> runs/auto_resume.status 2>&1; do
     sleep 60
 done
-echo "TPU live at $(date -u +%H:%M:%S); starting WM48" >> runs/auto_resume.status
+echo "TPU live at $(date -u +%H:%M:%S); bench.py first" >> runs/auto_resume.status
 
-# stage 4: world model + connector at reference pretrain scale (48x48)
-timeout 14400 python -u train.py task=$TASK train_world_model=True \
+# 0. driver artifact sanity: bench.py was refactored onto fused_chunk this
+# round — make sure the driver's end-of-round invocation cannot crash
+timeout 1200 python -u bench.py > runs/bench_r3.log 2>&1
+echo "bench rc=$? at $(date -u +%H:%M:%S); starting WM48" >> runs/auto_resume.status
+
+# 1. world model + connector at reference pretrain batch (48x48), 120k steps
+timeout 9000 python -u train.py task=$TASK train_world_model=True \
     train_connector=True replay_load_dir=$EV/dataset_r3 embed_whiten=True \
-    num_train_frames=200010 batch_size=48 batch_length=48 viclip_encode=False \
-    save_every_frames=10000 steps_per_dispatch=8 workdir=$EV/wm48 \
+    num_train_frames=120010 batch_size=48 batch_length=48 viclip_encode=False \
+    save_every_frames=5000 steps_per_dispatch=8 workdir=$EV/wm48 \
     > runs/wm48_r3.log 2>&1
 echo "WM48 rc=$? at $(date -u +%H:%M:%S); starting behavior" >> runs/auto_resume.status
 
-# stage 5: behavior learning from the collected video prompt
-timeout 10800 python -u train.py task=$TASK \
+# 2. behavior learning from the collected video prompt
+timeout 7200 python -u train.py task=$TASK \
     agent.imag_reward_fn=video_video_reward task_video=$EV/prompt_r3.mp4 \
     embed_whiten=True agent.imag_reward_args.align_initial=True \
     agent.imag_reward_args.align_sequence=False \
-    batch_size=32 batch_length=32 num_train_frames=100010 \
-    eval_modality=task_imag eval_every_frames=10000 num_eval_episodes=5 \
+    batch_size=32 batch_length=32 num_train_frames=60010 \
+    eval_modality=task_imag eval_every_frames=5000 num_eval_episodes=5 \
     snapshot_load_dir=$EV/wm48/$TASK/snapshots replay_load_dir=$EV/dataset_r3 \
-    viclip_encode=False save_every_frames=10000 steps_per_dispatch=10 \
+    viclip_encode=False save_every_frames=5000 steps_per_dispatch=10 \
     workdir=$EV/beh_r3 > runs/beh_r3.log 2>&1
-echo "behavior rc=$? at $(date -u +%H:%M:%S); benching" >> runs/auto_resume.status
+echo "behavior rc=$? at $(date -u +%H:%M:%S); bench_all" >> runs/auto_resume.status
 
-# refresh the perf artifacts while the chip is free
-timeout 1200 python -u bench.py > runs/bench_r3.log 2>&1
-echo "bench rc=$? at $(date -u +%H:%M:%S)" >> runs/auto_resume.status
+# 3. refresh the full perf table (incl. the new 48x48 config)
 timeout 3600 python -u scripts/bench_all.py > runs/bench_all_r3.log 2>&1
-echo "bench_all rc=$? at $(date -u +%H:%M:%S); done" >> runs/auto_resume.status
+echo "bench_all rc=$? at $(date -u +%H:%M:%S); finetune" >> runs/auto_resume.status
 
-# stage 6: finetune evidence (reference train_mode=finetune): load the WM48
-# snapshot, imag behavior acts, reward head trains on env data, env evals
-timeout 5400 python -u train.py task=$TASK finetune=True \
+# 4. finetune evidence (reference train_mode=finetune)
+timeout 3600 python -u train.py task=$TASK finetune=True \
     snapshot_load_dir=$EV/wm48/$TASK/snapshots replay_load_dir=$EV/dataset_r3 \
-    embed_whiten=True batch_size=16 batch_length=16 num_train_frames=30010 \
+    embed_whiten=True batch_size=16 batch_length=16 num_train_frames=20010 \
     eval_modality=task_imag eval_every_frames=10000 num_eval_episodes=5 \
     viclip_encode=False save_every_frames=10000 steps_per_dispatch=10 \
     workdir=$EV/finetune_r3 > runs/finetune_r3.log 2>&1
