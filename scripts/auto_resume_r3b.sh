@@ -1,0 +1,68 @@
+#!/bin/sh
+# Auto-resume the round-3 pipeline when the TPU tunnel returns (v2).
+# Supersedes auto_resume_r3.sh: the session restart reset the wall-clock
+# budget, so the dataset grows to 310 episodes (~155k frames) before the
+# WM48 stage, budgets go back to near-reference scale, and the behavior
+# stage uses the regenerated high-reward prompt (prompt_r3b.mp4).
+# Ordering: bench.py first (driver-artifact sanity in ~10 min), then
+# embed -> WM48 -> behavior (the headline chain), then perf + finetune.
+set -x
+cd /root/repo
+export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
+TASK=stickman_walk
+EV=evidence/pipeline
+
+echo "waiting for TPU relay on :8082..." > runs/auto_resume.status
+while ! ss -tln 2>/dev/null | grep -q ':8082 '; do
+    sleep 45
+done
+echo "relay back at $(date -u +%H:%M:%S); probing jax..." >> runs/auto_resume.status
+until timeout 300 python -u -c "import jax; print(jax.devices())" \
+      >> runs/auto_resume.status 2>&1; do
+    sleep 60
+done
+echo "TPU live at $(date -u +%H:%M:%S); bench.py first" >> runs/auto_resume.status
+
+# 0. driver artifact sanity: bench.py was refactored onto fused_chunk this
+# round — make sure the driver's end-of-round invocation cannot crash
+timeout 1800 python -u bench.py > runs/bench_r3.log 2>&1
+echo "bench rc=$? at $(date -u +%H:%M:%S); embedding dataset" >> runs/auto_resume.status
+
+# 1. embed the ~147 not-yet-embedded episodes (310 total selected; the
+# embedder skips episodes that already carry clip_video)
+timeout 9000 python -u process_dataset.py dataset_dir=$EV/dataset_r3 \
+    batch_windows=128 > runs/embed_r3d.log 2>&1
+echo "embed rc=$? at $(date -u +%H:%M:%S); starting WM48" >> runs/auto_resume.status
+
+# 2. world model + connector at reference pretrain batch (48x48), 160k steps
+timeout 16200 python -u train.py task=$TASK train_world_model=True \
+    train_connector=True replay_load_dir=$EV/dataset_r3 embed_whiten=True \
+    num_train_frames=160010 batch_size=48 batch_length=48 viclip_encode=False \
+    save_every_frames=5000 steps_per_dispatch=8 workdir=$EV/wm48 \
+    > runs/wm48_r3.log 2>&1
+echo "WM48 rc=$? at $(date -u +%H:%M:%S); starting behavior" >> runs/auto_resume.status
+
+# 3. behavior learning from the regenerated high-reward video prompt
+timeout 12600 python -u train.py task=$TASK \
+    agent.imag_reward_fn=video_video_reward task_video=$EV/prompt_r3b.mp4 \
+    embed_whiten=True agent.imag_reward_args.align_initial=True \
+    agent.imag_reward_args.align_sequence=False \
+    batch_size=32 batch_length=32 num_train_frames=80010 \
+    eval_modality=task_imag eval_every_frames=10000 num_eval_episodes=5 \
+    snapshot_load_dir=$EV/wm48/$TASK/snapshots replay_load_dir=$EV/dataset_r3 \
+    viclip_encode=False save_every_frames=5000 steps_per_dispatch=10 \
+    workdir=$EV/beh_r3 > runs/beh_r3.log 2>&1
+echo "behavior rc=$? at $(date -u +%H:%M:%S); bench_all" >> runs/auto_resume.status
+
+# 4. refresh the full perf table (incl. the new 48x48 config)
+timeout 3600 python -u scripts/bench_all.py > runs/bench_all_r3.log 2>&1
+echo "bench_all rc=$? at $(date -u +%H:%M:%S); finetune" >> runs/auto_resume.status
+
+# 5. finetune evidence (reference train_mode=finetune)
+timeout 3600 python -u train.py task=$TASK finetune=True \
+    snapshot_load_dir=$EV/wm48/$TASK/snapshots replay_load_dir=$EV/dataset_r3 \
+    embed_whiten=True batch_size=16 batch_length=16 num_train_frames=20010 \
+    eval_modality=task_imag eval_every_frames=10000 num_eval_episodes=5 \
+    viclip_encode=False save_every_frames=10000 steps_per_dispatch=10 \
+    workdir=$EV/finetune_r3 > runs/finetune_r3.log 2>&1
+echo "finetune rc=$? at $(date -u +%H:%M:%S); all stages complete" >> runs/auto_resume.status
