@@ -22,11 +22,15 @@ import time
 
 import numpy as np
 
+import os
+
 REFERENCE_GRAD_STEPS_PER_SEC = 13.0  # documented estimate, see module docstring
 BATCH, LENGTH = 16, 16
 CHUNK = 10  # grad steps per dispatched program (lax.scan inside the jit)
-WARMUP_STEPS = 10
-MEASURE_STEPS = 100
+# env overrides exist so the CPU smoke test (tests/test_bench_smoke.py) can
+# exercise this exact code path in seconds; the driver runs the defaults
+WARMUP_STEPS = int(os.environ.get("BENCH_WARMUP_STEPS", 10))
+MEASURE_STEPS = int(os.environ.get("BENCH_MEASURE_STEPS", 100))
 
 
 def main():
@@ -42,13 +46,26 @@ def main():
     cfg["precision"] = 16
     cfg["batch_size"] = BATCH
     cfg["batch_length"] = LENGTH
+    # smoke-test hook (tests/test_bench_smoke.py): dotted config overrides so
+    # the CPU suite can drive this exact path at tiny scale; unset in prod
+    for dotted in os.environ.get("BENCH_OVERRIDES", "").split():
+        key, _, val = dotted.partition("=")
+        from genrl_tpu.utils.config import parse_value
 
-    mesh = make_mesh(data=-1, model=1)
+        cfg.set_dotted(key.lstrip("+"), parse_value(val),
+                       allow_new=key.startswith("+"))
+    batch, length = int(cfg["batch_size"]), int(cfg["batch_length"])
+
+    import math
+
+    # the data axis must divide the batch (same clamp as train.py)
+    mesh = make_mesh(data=math.gcd(batch, len(jax.devices())), model=1)
     n_data = mesh.shape["data"]
     # device-resident replay: episodes uploaded to HBM once, window sampling
     # fused into the train step (zero steady-state host traffic)
-    replay = DeviceReplay("/root/reference/data/stickman_example", LENGTH,
-                          sharding=replicated(mesh))
+    replay = DeviceReplay(
+        os.environ.get("BENCH_REPLAY_DIR", "/root/reference/data/stickman_example"),
+        length, sharding=replicated(mesh))
     out_sharding = batch_sharding(mesh) if n_data > 1 else None
 
     act_dim = 10
@@ -77,19 +94,20 @@ def main():
                if out_sharding is not None else None)
     agent_step = lambda s, d, k: agent.train_step(
         s, d, k, target_seq=None, train_world_model=True, train_connector=True)
-    chunk = fused_chunk(agent_step, CHUNK, BATCH, LENGTH, base_key,
+    chunk_steps = int(os.environ.get("BENCH_CHUNK", CHUNK))
+    chunk = fused_chunk(agent_step, chunk_steps, batch, length, base_key,
                         jax.random.PRNGKey(5678), batch_sharding=step_bs)
 
     jit_chunk = jax.jit(chunk, donate_argnums=(0,))
     step = lambda s, i: jit_chunk(s, i, replay.arrays, replay.ep_len)
 
-    for i in range(0, WARMUP_STEPS, CHUNK):
+    for i in range(0, WARMUP_STEPS, chunk_steps):
         state, metrics = step(state, i)
     float(np.asarray(metrics["model_loss"]))  # full sync (block_until_ready
     # does not reliably synchronize through a remote-TPU tunnel)
 
     t0 = time.perf_counter()
-    for i in range(WARMUP_STEPS, WARMUP_STEPS + MEASURE_STEPS, CHUNK):
+    for i in range(WARMUP_STEPS, WARMUP_STEPS + MEASURE_STEPS, chunk_steps):
         state, metrics = step(state, i)
     float(np.asarray(metrics["model_loss"]))  # forces completion of the chain
     dt = time.perf_counter() - t0
