@@ -40,9 +40,28 @@ timeout 16200 python -u train.py task=$TASK train_world_model=True \
     num_train_frames=160010 batch_size=48 batch_length=48 viclip_encode=False \
     save_every_frames=5000 steps_per_dispatch=8 workdir=$EV/wm48 \
     > runs/wm48_r3.log 2>&1
-echo "WM48 rc=$? at $(date -u +%H:%M:%S); starting behavior" >> runs/auto_resume.status
+echo "WM48 rc=$? at $(date -u +%H:%M:%S)" >> runs/auto_resume.status
+
+# 2f. 48x48 has never run on the real chip; if it died before the first
+# snapshot (e.g. HBM OOM) fall back to 32x32 in the same workdir
+if [ ! -e "$EV/wm48/$TASK/snapshots/last_snapshot" ]; then
+    echo "WM48 left no snapshot; falling back to 32x32" >> runs/auto_resume.status
+    timeout 12600 python -u train.py task=$TASK train_world_model=True \
+        train_connector=True replay_load_dir=$EV/dataset_r3 embed_whiten=True \
+        num_train_frames=160010 batch_size=32 batch_length=32 viclip_encode=False \
+        save_every_frames=5000 steps_per_dispatch=8 workdir=$EV/wm48 \
+        >> runs/wm48_r3.log 2>&1
+    echo "WM32 fallback rc=$? at $(date -u +%H:%M:%S)" >> runs/auto_resume.status
+fi
+
+# 2d. alignment diagnosis against the fresh WM/connector (CPU-only script,
+# runs beside the TPU behavior stage)
+nohup sh -c "JAX_PLATFORMS=cpu python -u scripts/diagnose_alignment.py \
+    --wm $EV/wm48/$TASK --dataset $EV/dataset_r3 --video $EV/prompt_r3b.mp4 \
+    --out evidence/diag_alignment_r3" > runs/diag_r3.log 2>&1 &
 
 # 3. behavior learning from the regenerated high-reward video prompt
+echo "starting behavior at $(date -u +%H:%M:%S)" >> runs/auto_resume.status
 timeout 12600 python -u train.py task=$TASK \
     agent.imag_reward_fn=video_video_reward task_video=$EV/prompt_r3b.mp4 \
     embed_whiten=True agent.imag_reward_args.align_initial=True \
