@@ -88,9 +88,9 @@ def main():
     # XLA dead-code-eliminates the rest) — the benchmark measures exactly
     # the production shape.
     from genrl_tpu.data.device_replay import fused_chunk
-    from jax.sharding import PartitionSpec as _P
+    from genrl_tpu.parallel import chunk_batch_sharding
 
-    step_bs = (jax.sharding.NamedSharding(mesh, _P(None, "data"))
+    step_bs = (chunk_batch_sharding(mesh)
                if out_sharding is not None else None)
     agent_step = lambda s, d, k: agent.train_step(
         s, d, k, target_seq=None, train_world_model=True, train_connector=True)

@@ -34,24 +34,51 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     initialize_distributed._done = True
 
 
-def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
-    """Build a (data, model) mesh. data=-1 uses all remaining devices.
+def make_mesh(data: int = -1, model: int = 1, dcn: int = 1, devices=None) -> Mesh:
+    """Build a (data, model) mesh — or (dcn, data, model) when `dcn > 1` for
+    multi-slice pods (the scaling-book recipe: pure data parallelism over the
+    slow DCN links, ICI-bound data/tensor sharding inside each slice). The
+    batch is sharded over ("dcn", "data") jointly via `batch_axes`, so
+    gradient psums reduce within a slice over ICI first and only the
+    slice-summed gradients cross DCN. data=-1 uses all remaining devices.
     Under multi-process execution `jax.devices()` is the GLOBAL device set,
-    so the mesh spans hosts; collectives ride ICI within a slice and DCN
-    across slices without further configuration."""
+    so the mesh spans hosts."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if data == -1:
-        assert n % model == 0, (n, model)
-        data = n // model
-    assert data * model <= n, (data, model, n)
+        assert n % (model * dcn) == 0, (n, model, dcn)
+        data = n // (model * dcn)
+    assert dcn * data * model <= n, (dcn, data, model, n)
+    if dcn > 1:
+        # order devices so the leading mesh axis is the slice boundary: mesh
+        # rows then map to slices, and only the "dcn" collectives cross DCN
+        devices = sorted(devices, key=lambda d: (getattr(d, "slice_index", 0)
+                                                 or 0, d.id))
+        devs = np.asarray(devices[: dcn * data * model]).reshape(dcn, data, model)
+        return Mesh(devs, ("dcn", "data", "model"))
     devs = np.asarray(devices[: data * model]).reshape(data, model)
     return Mesh(devs, ("data", "model"))
 
 
+def batch_axes(mesh: Mesh) -> tuple:
+    """Mesh axes the batch dimension shards over (("dcn", "data") on a
+    multi-slice mesh, ("data",) otherwise)."""
+    return (("dcn", "data") if "dcn" in mesh.axis_names else ("data",))
+
+
+def data_size(mesh: Mesh) -> int:
+    """Total batch-sharding ways (product of the batch axes' sizes)."""
+    return int(np.prod([mesh.shape[a] for a in batch_axes(mesh)]))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Leading-axis (batch) sharding over the data axis."""
-    return NamedSharding(mesh, P("data"))
+    """Leading-axis (batch) sharding over the batch axes."""
+    return NamedSharding(mesh, P(batch_axes(mesh)))
+
+
+def chunk_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """[K, B, ...] chunk sharding: batch axes on dim 1 (fused_chunk's xs)."""
+    return NamedSharding(mesh, P(None, batch_axes(mesh)))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

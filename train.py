@@ -71,9 +71,13 @@ class Workspace:
 
         mesh_cfg = dict(cfg.get("mesh", {"data": -1, "model": 1}))
         if mesh_cfg.get("data", -1) == -1:
-            # the data axis must divide the batch; clamp to gcd(batch, devices)
-            n_avail = len(jax.devices()) // max(1, int(mesh_cfg.get("model", 1)))
-            mesh_cfg["data"] = math.gcd(int(cfg.batch_size), n_avail)
+            # the batch axes must divide the batch; clamp to gcd(batch, devices)
+            denom = max(1, int(mesh_cfg.get("model", 1))
+                        * int(mesh_cfg.get("dcn", 1)))
+            n_avail = len(jax.devices()) // denom
+            mesh_cfg["data"] = math.gcd(
+                int(cfg.batch_size) // max(1, int(mesh_cfg.get("dcn", 1))),
+                n_avail)
         self.mesh = make_mesh(**mesh_cfg)
         # embedding whitening (see genrl_tpu/rewards/embed_stats.py): one
         # consistent mean-center+renorm over the dataset's clip_video and the
@@ -428,7 +432,9 @@ class Workspace:
                 from genrl_tpu.data.device_replay import sample_windows
 
                 dr = self.device_replay
-                bs = self.batch_sharding if self.mesh.shape["data"] > 1 else None
+                from genrl_tpu.parallel import data_size
+
+                bs = self.batch_sharding if data_size(self.mesh) > 1 else None
 
                 # Multi-step dispatch: K fused sample+update steps run as ONE
                 # lax.scan inside ONE jitted program. The per-step host
@@ -450,12 +456,11 @@ class Workspace:
                 #     chunk's last-step values, not a chunk mean; the logger's
                 #     meters average across dispatches either way.
                 def make_fused(n):
-                    from jax.sharding import PartitionSpec as _P
-
                     from genrl_tpu.data.device_replay import fused_chunk
+                    from genrl_tpu.parallel import chunk_batch_sharding
 
-                    step_bs = (jax.sharding.NamedSharding(
-                        self.mesh, _P(None, "data")) if bs is not None else None)
+                    step_bs = (chunk_batch_sharding(self.mesh)
+                               if bs is not None else None)
                     fused = fused_chunk(
                         agent_step, n, int(cfg.batch_size),
                         int(cfg.batch_length), base_key,
