@@ -77,9 +77,13 @@ echo "behavior rc=$? at $(date -u +%H:%M:%S); bench_all" >> runs/auto_resume.sta
 timeout 3600 python -u scripts/bench_all.py > runs/bench_all_r3.log 2>&1
 echo "bench_all rc=$? at $(date -u +%H:%M:%S); finetune" >> runs/auto_resume.status
 
-# 5. finetune evidence (reference train_mode=finetune)
+# 5. finetune evidence (reference train_mode=finetune): start from the
+# prompt-learned behavior agent when it exists — the reference recipe
+# finetunes the pretrained agent's imag behavior on env reward
+FT_SNAP=$EV/beh_r3/$TASK/snapshots
+[ -e "$FT_SNAP/last_snapshot" ] || FT_SNAP=$EV/wm48/$TASK/snapshots
 timeout 3600 python -u train.py task=$TASK finetune=True \
-    snapshot_load_dir=$EV/wm48/$TASK/snapshots replay_load_dir=$EV/dataset_r3 \
+    snapshot_load_dir=$FT_SNAP replay_load_dir=$EV/dataset_r3 \
     embed_whiten=True batch_size=16 batch_length=16 num_train_frames=20010 \
     eval_modality=task_imag eval_every_frames=10000 num_eval_episodes=5 \
     viclip_encode=False save_every_frames=10000 steps_per_dispatch=10 \
