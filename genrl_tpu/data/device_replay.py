@@ -55,7 +55,22 @@ class DeviceReplay:
             raise MemoryError(
                 f"dataset is {total/1e9:.1f} GB > max_bytes={max_bytes/1e9:.1f} GB; "
                 "use the streaming ReplayBuffer")
-        keys = keys or [k for k in episodes[0].keys()]
+        if keys is None:
+            # schema = the majority key set; episodes missing any of its keys
+            # (e.g. clip_video on a partially-embedded dataset) are skipped
+            # LOUDLY rather than crashing the load or silently dropping the
+            # key for everyone
+            from collections import Counter
+
+            counts = Counter(frozenset(ep.keys()) for ep in episodes)
+            majority = max(counts, key=lambda s: (counts[s], len(s)))
+            keep = [ep for ep in episodes if majority <= set(ep.keys())]
+            if len(keep) < len(episodes):
+                print(f"device replay: skipping {len(episodes) - len(keep)} "
+                      f"episode(s) missing schema keys "
+                      f"{sorted(majority)} (partial dataset?)")
+            episodes = keep
+            keys = sorted(majority)
         self.keys = [k for k in keys if k in episodes[0]]
         self.num_episodes = len(episodes)
         tmax = max(next(iter(ep.values())).shape[0] for ep in episodes)

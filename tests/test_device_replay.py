@@ -158,3 +158,26 @@ def test_train_step_on_scalar_reward_episode():
     assert batch["reward"].shape == (2, 8, 1)
     state, metrics = agent.train_step(state, batch, jax.random.PRNGKey(2))
     assert np.isfinite(float(np.asarray(metrics["model_loss"])))
+
+
+def test_mixed_schema_skips_partial_episodes(tmp_path, capsys):
+    """A partially-embedded dataset (some episodes missing clip_video) must
+    load with the majority schema and LOUDLY skip the nonconforming episodes,
+    not crash or silently drop the key (pipeline embed-stage crash hedge)."""
+    rng = np.random.default_rng(1)
+    T = 16
+    for i in range(3):
+        ep = {
+            "observation": rng.integers(0, 255, (T, 3, 8, 8), np.uint8),
+            "action": rng.normal(size=(T, 2)).astype(np.float32),
+            "is_first": np.zeros(T, bool),
+        }
+        if i != 1:  # episode 1 was never embedded
+            ep["clip_video"] = rng.normal(size=(T, 4)).astype(np.float32)
+        save_episode(ep, tmp_path, i)
+    store = DeviceReplay(tmp_path, length=8)
+    assert "clip_video" in store.keys
+    assert store.num_episodes == 2
+    assert "skipping 1 episode(s)" in capsys.readouterr().out
+    batch = store.sample(jax.random.PRNGKey(0), 4)
+    assert batch["clip_video"].shape == (4, 8, 4)
