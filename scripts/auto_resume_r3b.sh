@@ -23,6 +23,18 @@ until timeout 300 python -u -c "import jax; print(jax.devices())" \
 done
 echo "TPU live at $(date -u +%H:%M:%S); bench.py first" >> runs/auto_resume.status
 
+# adaptive budgets: the relay outage ate an unknown share of the round, so
+# split whatever remains until the 09:00 UTC hard stop across the headline
+# chain (WM48 ~45%, behavior ~35%); snapshots every 5000 steps make an
+# early timeout lossless — behavior just starts from the last snapshot
+DEADLINE=$(date -u -d "2026-08-18 09:00" +%s 2>/dev/null || echo 0)
+NOW=$(date +%s)
+REM=$(( DEADLINE - NOW ))
+[ "$REM" -gt 0 ] || REM=25200
+WM_T=$(( REM * 45 / 100 )); [ $WM_T -gt 16200 ] && WM_T=16200; [ $WM_T -lt 1800 ] && WM_T=1800
+BEH_T=$(( REM * 35 / 100 )); [ $BEH_T -gt 12600 ] && BEH_T=12600; [ $BEH_T -lt 3600 ] && BEH_T=3600
+echo "budgets: remaining=${REM}s wm=${WM_T}s beh=${BEH_T}s" >> runs/auto_resume.status
+
 # 0. driver artifact sanity: bench.py was refactored onto fused_chunk this
 # round — make sure the driver's end-of-round invocation cannot crash
 timeout 1800 python -u bench.py > runs/bench_r3.log 2>&1
@@ -35,7 +47,7 @@ timeout 9000 python -u process_dataset.py dataset_dir=$EV/dataset_r3 \
 echo "embed rc=$? at $(date -u +%H:%M:%S); starting WM48" >> runs/auto_resume.status
 
 # 2. world model + connector at reference pretrain batch (48x48), 160k steps
-timeout 16200 python -u train.py task=$TASK train_world_model=True \
+timeout $WM_T python -u train.py task=$TASK train_world_model=True \
     train_connector=True replay_load_dir=$EV/dataset_r3 embed_whiten=True \
     num_train_frames=160010 batch_size=48 batch_length=48 viclip_encode=False \
     save_every_frames=5000 steps_per_dispatch=8 workdir=$EV/wm48 \
@@ -46,7 +58,7 @@ echo "WM48 rc=$? at $(date -u +%H:%M:%S)" >> runs/auto_resume.status
 # snapshot (e.g. HBM OOM) fall back to 32x32 in the same workdir
 if [ ! -e "$EV/wm48/$TASK/snapshots/last_snapshot" ]; then
     echo "WM48 left no snapshot; falling back to 32x32" >> runs/auto_resume.status
-    timeout 12600 python -u train.py task=$TASK train_world_model=True \
+    timeout $WM_T python -u train.py task=$TASK train_world_model=True \
         train_connector=True replay_load_dir=$EV/dataset_r3 embed_whiten=True \
         num_train_frames=160010 batch_size=32 batch_length=32 viclip_encode=False \
         save_every_frames=5000 steps_per_dispatch=8 workdir=$EV/wm48 \
@@ -62,7 +74,7 @@ nohup sh -c "JAX_PLATFORMS=cpu python -u scripts/diagnose_alignment.py \
 
 # 3. behavior learning from the regenerated high-reward video prompt
 echo "starting behavior at $(date -u +%H:%M:%S)" >> runs/auto_resume.status
-timeout 12600 python -u train.py task=$TASK \
+timeout $BEH_T python -u train.py task=$TASK \
     agent.imag_reward_fn=video_video_reward task_video=$EV/prompt_r3b.mp4 \
     embed_whiten=True agent.imag_reward_args.align_initial=True \
     agent.imag_reward_args.align_sequence=False \
@@ -73,6 +85,8 @@ timeout 12600 python -u train.py task=$TASK \
     workdir=$EV/beh_r3 > runs/beh_r3.log 2>&1
 echo "behavior rc=$? at $(date -u +%H:%M:%S); bench_all" >> runs/auto_resume.status
 
+# 4/5 run only if the deadline hasn't passed
+if [ $(date +%s) -lt $DEADLINE ]; then
 # 4. refresh the full perf table (incl. the new 48x48 config)
 timeout 3600 python -u scripts/bench_all.py > runs/bench_all_r3.log 2>&1
 echo "bench_all rc=$? at $(date -u +%H:%M:%S); finetune" >> runs/auto_resume.status
@@ -89,3 +103,6 @@ timeout 3600 python -u train.py task=$TASK finetune=True \
     viclip_encode=False save_every_frames=10000 steps_per_dispatch=10 \
     workdir=$EV/finetune_r3 > runs/finetune_r3.log 2>&1
 echo "finetune rc=$? at $(date -u +%H:%M:%S); all stages complete" >> runs/auto_resume.status
+else
+    echo "deadline passed; skipping bench_all/finetune" >> runs/auto_resume.status
+fi
