@@ -23,17 +23,9 @@ until timeout 300 python -u -c "import jax; print(jax.devices())" \
 done
 echo "TPU live at $(date -u +%H:%M:%S); bench.py first" >> runs/auto_resume.status
 
-# adaptive budgets: the relay outage ate an unknown share of the round, so
-# split whatever remains until the 09:00 UTC hard stop across the headline
-# chain (WM48 ~45%, behavior ~35%); snapshots every 5000 steps make an
-# early timeout lossless — behavior just starts from the last snapshot
-DEADLINE=$(date -u -d "2026-08-18 09:00" +%s 2>/dev/null || echo 0)
-NOW=$(date +%s)
-REM=$(( DEADLINE - NOW ))
-[ "$REM" -gt 0 ] || REM=25200
-WM_T=$(( REM * 45 / 100 )); [ $WM_T -gt 16200 ] && WM_T=16200; [ $WM_T -lt 1800 ] && WM_T=1800
-BEH_T=$(( REM * 35 / 100 )); [ $BEH_T -gt 12600 ] && BEH_T=12600; [ $BEH_T -lt 3600 ] && BEH_T=3600
-echo "budgets: remaining=${REM}s wm=${WM_T}s beh=${BEH_T}s" >> runs/auto_resume.status
+# hard stop: the third round-3 session runs until ~18:45 UTC 2026-08-18;
+# stop the headline chain at 17:15 so bench_all + finetune can still land
+DEADLINE=$(date -u -d "2026-08-18 17:15" +%s 2>/dev/null || echo 0)
 
 # 0. driver artifact sanity: bench.py was refactored onto fused_chunk this
 # round — make sure the driver's end-of-round invocation cannot crash
@@ -45,6 +37,17 @@ echo "bench rc=$? at $(date -u +%H:%M:%S); embedding dataset" >> runs/auto_resum
 timeout 9000 python -u process_dataset.py dataset_dir=$EV/dataset_r3 \
     batch_windows=128 > runs/embed_r3d.log 2>&1
 echo "embed rc=$? at $(date -u +%H:%M:%S); starting WM48" >> runs/auto_resume.status
+
+# adaptive budgets, computed AFTER the embed stage so its (up to 2.5h) cost
+# doesn't eat the WM/behavior shares: reserve ~75 min for bench_all+finetune,
+# then split the rest WM 55% / behavior 45%; snapshots every 5000 steps make
+# an early timeout lossless — the next stage starts from the last snapshot
+NOW=$(date +%s)
+REM=$(( DEADLINE - NOW - 4500 ))
+[ "$REM" -gt 0 ] || REM=14400
+WM_T=$(( REM * 55 / 100 )); [ $WM_T -gt 16200 ] && WM_T=16200; [ $WM_T -lt 1800 ] && WM_T=1800
+BEH_T=$(( REM * 45 / 100 )); [ $BEH_T -gt 12600 ] && BEH_T=12600; [ $BEH_T -lt 3600 ] && BEH_T=3600
+echo "budgets: remaining=${REM}s wm=${WM_T}s beh=${BEH_T}s" >> runs/auto_resume.status
 
 # 2. world model + connector at reference pretrain batch (48x48), 160k steps
 timeout $WM_T python -u train.py task=$TASK train_world_model=True \
