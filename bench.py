@@ -33,7 +33,28 @@ WARMUP_STEPS = int(os.environ.get("BENCH_WARMUP_STEPS", 10))
 MEASURE_STEPS = int(os.environ.get("BENCH_MEASURE_STEPS", 100))
 
 
+def _require_tpu_relay():
+    """Fail fast when the axon TPU tunnel is down: touching jax with
+    JAX_PLATFORMS=axon and no relay HANGS (it does not error), which would
+    eat the driver's whole unattended timeout. A closed :8082 means the
+    relay process is gone — exit loudly instead."""
+    if "axon" not in os.environ.get("JAX_PLATFORMS", ""):
+        return  # cpu/tpu override (e.g. the CPU smoke test) — nothing to probe
+    import socket
+    import sys
+
+    try:
+        with socket.create_connection(("127.0.0.1", 8082), timeout=5):
+            return
+    except OSError:
+        print("bench.py: TPU relay on 127.0.0.1:8082 is not accepting "
+              "connections — jax init would hang, not fail. Aborting; restart "
+              "the axon tunnel and rerun.", file=sys.stderr)
+        raise SystemExit(2)
+
+
 def main():
+    _require_tpu_relay()
     import jax
 
     from genrl_tpu.agents.assembly import GenRLAgent

@@ -34,7 +34,8 @@ echo "bench rc=$? at $(date -u +%H:%M:%S); embedding dataset" >> runs/auto_resum
 
 # 1. embed the ~147 not-yet-embedded episodes (310 total selected; the
 # embedder skips episodes that already carry clip_video)
-timeout 9000 python -u process_dataset.py dataset_dir=$EV/dataset_r3 \
+# 147 pending x ~50 s/episode ≈ 2h; 3h cap so a slow tunnel can't truncate
+timeout 10800 python -u process_dataset.py dataset_dir=$EV/dataset_r3 \
     batch_windows=128 > runs/embed_r3d.log 2>&1
 echo "embed rc=$? at $(date -u +%H:%M:%S); starting WM48" >> runs/auto_resume.status
 

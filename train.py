@@ -596,6 +596,12 @@ class Workspace:
                     name=f"snapshot_{self.global_step}")
         self.save_last_model()
         self.snap.wait_until_finished()
+        # final-state eval: the in-loop trigger fires BEFORE a train step, so
+        # the fully-trained policy (the headline number) would otherwise never
+        # reach eval.csv — its last row would lag by up to eval_every_frames
+        if (cfg.get("eval_modality") in ("task", "task_imag")
+                and self.global_step != last_eval_step):
+            self.eval(use_imag=cfg.get("eval_modality") == "task_imag")
         return metrics
 
     def save_last_model(self):
