@@ -23,9 +23,10 @@ until timeout 300 python -u -c "import jax; print(jax.devices())" \
 done
 echo "TPU live at $(date -u +%H:%M:%S); bench.py first" >> runs/auto_resume.status
 
-# hard stop: the third round-3 session runs until ~18:45 UTC 2026-08-18;
-# stop the headline chain at 17:15 so bench_all + finetune can still land
-DEADLINE=$(date -u -d "2026-08-18 17:15" +%s 2>/dev/null || echo 0)
+# hard stop: the fourth round-3 session runs until ~19:55 UTC 2026-08-18;
+# stop the headline chain at 18:15 so bench_all + finetune land by ~19:30,
+# leaving the single-client TPU free before the driver's end-of-round bench
+DEADLINE=$(date -u -d "2026-08-18 18:15" +%s 2>/dev/null || echo 0)
 
 # 0. driver artifact sanity: bench.py was refactored onto fused_chunk this
 # round — make sure the driver's end-of-round invocation cannot crash
@@ -34,8 +35,15 @@ echo "bench rc=$? at $(date -u +%H:%M:%S); embedding dataset" >> runs/auto_resum
 
 # 1. embed the ~147 not-yet-embedded episodes (310 total selected; the
 # embedder skips episodes that already carry clip_video)
-# 147 pending x ~50 s/episode ≈ 2h; 3h cap so a slow tunnel can't truncate
-timeout 10800 python -u process_dataset.py dataset_dir=$EV/dataset_r3 \
+# 147 pending x ~50 s/episode ≈ 2h; 3h cap so a slow tunnel can't truncate.
+# Late-relay clamp: never let embedding eat the WM/behavior shares — if the
+# relay came back late, cap embed so >=2.5h remain before DEADLINE (the 163
+# already-embedded episodes make a partial embed lossless for the chain).
+EMBED_T=10800
+EMB_ROOM=$(( DEADLINE - $(date +%s) - 9000 ))
+[ $EMB_ROOM -lt 1200 ] && EMB_ROOM=1200
+[ $EMBED_T -gt $EMB_ROOM ] && EMBED_T=$EMB_ROOM
+timeout $EMBED_T python -u process_dataset.py dataset_dir=$EV/dataset_r3 \
     batch_windows=128 > runs/embed_r3d.log 2>&1
 echo "embed rc=$? at $(date -u +%H:%M:%S); starting WM48" >> runs/auto_resume.status
 
@@ -45,7 +53,9 @@ echo "embed rc=$? at $(date -u +%H:%M:%S); starting WM48" >> runs/auto_resume.st
 # an early timeout lossless — the next stage starts from the last snapshot
 NOW=$(date +%s)
 REM=$(( DEADLINE - NOW - 4500 ))
-[ "$REM" -gt 0 ] || REM=14400
+# deadline already blown (relay returned very late): run a minimal chain
+# (the per-stage floors below give WM 30 min + behavior 60 min), not 4h
+[ "$REM" -gt 0 ] || REM=0
 WM_T=$(( REM * 55 / 100 )); [ $WM_T -gt 16200 ] && WM_T=16200; [ $WM_T -lt 1800 ] && WM_T=1800
 BEH_T=$(( REM * 45 / 100 )); [ $BEH_T -gt 12600 ] && BEH_T=12600; [ $BEH_T -lt 3600 ] && BEH_T=3600
 echo "budgets: remaining=${REM}s wm=${WM_T}s beh=${BEH_T}s" >> runs/auto_resume.status
@@ -89,8 +99,8 @@ timeout $BEH_T python -u train.py task=$TASK \
     workdir=$EV/beh_r3 > runs/beh_r3.log 2>&1
 echo "behavior rc=$? at $(date -u +%H:%M:%S); bench_all" >> runs/auto_resume.status
 
-# 4/5 run only if the deadline hasn't passed
-if [ $(date +%s) -lt $DEADLINE ]; then
+# 4/5 run only if their reserved window (DEADLINE..DEADLINE+75min) is open
+if [ $(date +%s) -lt $(( DEADLINE + 4500 )) ]; then
 # 4. refresh the full perf table (incl. the new 48x48 config)
 timeout 3600 python -u scripts/bench_all.py > runs/bench_all_r3.log 2>&1
 echo "bench_all rc=$? at $(date -u +%H:%M:%S); finetune" >> runs/auto_resume.status
