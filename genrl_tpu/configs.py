@@ -245,7 +245,7 @@ TRAIN_BASE = dict(
     models_root="models",
     torch_snapshot_path=None,   # convert-on-load of reference .pt snapshots
     # TPU-native additions
-    mesh=dict(data=-1, model=1, dcn=1),  # -1: all remaining devices; dcn>1 adds a multi-slice axis
+    mesh=dict(data=-1, model=1, dcn=1, zero1=False),  # -1: all remaining devices; dcn>1 adds a multi-slice axis; zero1 shards optimizer state
     replay_device=True,            # HBM-resident replay when the dataset fits
     use_pallas=True,
     profile=False,
@@ -279,7 +279,7 @@ COLLECT_BASE = dict(
     log_episodes_every_frames=100_000,
     workdir=None,
     eval_modality="task",
-    mesh=dict(data=-1, model=1, dcn=1),
+    mesh=dict(data=-1, model=1, dcn=1, zero1=False),
     use_pallas=True,
     profile=False,
 )
@@ -295,5 +295,5 @@ PROCESS_BASE = dict(
     batch_windows=64,
     n_frames=8,
     skip_existing=True,
-    mesh=dict(data=-1, model=1, dcn=1),
+    mesh=dict(data=-1, model=1, dcn=1, zero1=False),
 )

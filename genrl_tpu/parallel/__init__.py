@@ -9,6 +9,8 @@ from genrl_tpu.parallel.mesh import (
     replicated,
     shard_batch,
     shard_params,
+    shard_state,
+    state_shardings,
 )
 
 __all__ = [
@@ -22,4 +24,6 @@ __all__ = [
     "replicated",
     "shard_batch",
     "shard_params",
+    "shard_state",
+    "state_shardings",
 ]

@@ -110,6 +110,53 @@ def shard_params(params, mesh: Mesh):
     return jax.device_put(params, replicated(mesh))
 
 
+def _zero1_leaf_sharding(mesh: Mesh, x) -> NamedSharding:
+    """Shard a single optimizer-state leaf over the batch axes along its
+    largest evenly-divisible dimension; replicate scalars and indivisible
+    shapes (biases, odd-sized heads). Partial coverage is the standard GSPMD
+    ZeRO posture — the big Adam moments (the memory that matters) shard."""
+    ways = data_size(mesh)
+    shape = tuple(getattr(x, "shape", ()) or ())
+    best = None
+    for i, d in enumerate(shape):
+        if d % ways == 0 and d >= ways and (best is None or d > shape[best]):
+            best = i
+    if best is None:
+        return replicated(mesh)
+    spec = [None] * len(shape)
+    spec[best] = batch_axes(mesh)
+    return NamedSharding(mesh, P(*spec))
+
+
+def state_shardings(state_like, mesh: Mesh, zero1: bool = False):
+    """Sharding pytree for an AgentState: replicated DP layout, or — with
+    `zero1` — ZeRO-1 (reference lineage: the DeepSpeed ZeRO-1 config vendored
+    unused with InternVideo2, multi_modality config `stage=1`; SURVEY §2.10).
+    Every leaf under a dataclass field named `*_opt` (wm_opt, connector_opt,
+    disag_opt, actor_opt, critic_opt — the Adam mu/nu moments) is sharded
+    over the batch axes; params stay replicated. Under jit, GSPMD then
+    reduce-scatters the gradients into the sharded moment update and
+    all-gathers the parameter deltas — ZeRO-1 without any explicit
+    collective code, the TPU equivalent of DeepSpeed's optimizer
+    partitioning."""
+    rep = replicated(mesh)
+    if not zero1:
+        return jax.tree_util.tree_map(lambda _: rep, state_like)
+
+    def leaf(path, x):
+        in_opt = any(
+            isinstance(k, jax.tree_util.GetAttrKey) and k.name.endswith("_opt")
+            for k in path)
+        return _zero1_leaf_sharding(mesh, x) if in_opt else rep
+
+    return jax.tree_util.tree_map_with_path(leaf, state_like)
+
+
+def shard_state(state, mesh: Mesh, zero1: bool = False):
+    """Place an AgentState on the mesh (see state_shardings)."""
+    return jax.device_put(state, state_shardings(state, mesh, zero1))
+
+
 def data_parallel_shardings(mesh: Mesh, state_like, batch_like):
     """(state_sharding, batch_sharding) pytrees for jit in_shardings."""
     rep = replicated(mesh)

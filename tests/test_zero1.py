@@ -1,0 +1,103 @@
+"""ZeRO-1 optimizer-state sharding (SURVEY §2.10 ZeRO row).
+
+The reference carries a DeepSpeed ZeRO stage-1 config only as unused vendored
+InternVideo2 pretraining glue (demo/internvideo2_stage2_config.py:110-113);
+here it is a first-class placement flag: `mesh.zero1=True` shards every Adam
+moment leaf over the batch axes (genrl_tpu/parallel/mesh.py:state_shardings)
+and GSPMD inserts the reduce-scatter/all-gather — no explicit collectives.
+
+Verified on the virtual 8-device CPU mesh: the sharded run matches the
+replicated run numerically, the moments really are partitioned (1/8 of the
+leaf per device), and the sharding survives a jitted train step (so donation
+and steady-state memory behave)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genrl_tpu.agents.assembly import DreamerAgent
+from genrl_tpu.parallel import make_mesh, shard_batch, shard_state, state_shardings
+
+from tests.test_agents import OBS_SPACE, ACT, tiny_batch, tiny_cfg
+
+
+def _opt_leaves_with_path(state):
+    flat, _ = jax.tree_util.tree_flatten_with_path(state)
+    return [(path, leaf) for path, leaf in flat
+            if any(isinstance(k, jax.tree_util.GetAttrKey)
+                   and k.name.endswith("_opt") for k in path)]
+
+
+def test_state_shardings_rule():
+    mesh = make_mesh(data=-1, model=1)
+    assert mesh.devices.size == 8
+    cfg = tiny_cfg()
+    cfg.update_deep({"agent": {"name": "dreamer", "grad_heads": ("decoder", "reward")}})
+    agent = DreamerAgent(cfg, OBS_SPACE, ACT)
+    state = agent.init(jax.random.PRNGKey(0))
+    sh = state_shardings(state, mesh, zero1=True)
+
+    flat_state, _ = jax.tree_util.tree_flatten_with_path(state)
+    flat_sh = jax.tree_util.tree_leaves(sh)
+    assert len(flat_state) == len(flat_sh)
+    n_sharded = n_opt = 0
+    for (path, leaf), s in zip(flat_state, flat_sh):
+        in_opt = any(isinstance(k, jax.tree_util.GetAttrKey)
+                     and k.name.endswith("_opt") for k in path)
+        if not in_opt:
+            # params / counters / stream-norm state stay replicated
+            assert s.is_fully_replicated, (path, s)
+            continue
+        n_opt += 1
+        shape = tuple(getattr(leaf, "shape", ()) or ())
+        divisible = any(d % 8 == 0 and d >= 8 for d in shape)
+        if divisible:
+            assert not s.is_fully_replicated, (path, shape, s)
+            n_sharded += 1
+        else:
+            # scalars (adam count) and indivisible shapes replicate
+            assert s.is_fully_replicated, (path, shape, s)
+    assert n_opt > 0 and n_sharded > 0
+    # the big moments (the memory ZeRO-1 exists to shard) are covered
+    assert n_sharded >= n_opt // 2, (n_sharded, n_opt)
+
+
+def test_zero1_matches_replicated_and_stays_sharded(rng):
+    mesh = make_mesh(data=-1, model=1)
+    cfg = tiny_cfg()
+    cfg.update_deep({"agent": {"name": "dreamer", "grad_heads": ("decoder", "reward")}})
+    agent = DreamerAgent(cfg, OBS_SPACE, ACT)
+    state0 = agent.init(jax.random.PRNGKey(0))
+    data = shard_batch(tiny_batch(rng, batch=8), mesh)
+    step = jax.jit(agent.train_step)
+
+    def run(zero1):
+        s = shard_state(state0, mesh, zero1=zero1)
+        for i in range(2):
+            s, metrics = step(s, data, jax.random.PRNGKey(10 + i))
+        return s, metrics
+
+    s_rep, m_rep = run(False)
+    s_z1, m_z1 = run(True)
+
+    # identical numerics (different reduction layouts => tolerance, not exact)
+    np.testing.assert_allclose(float(m_rep["model_loss"]),
+                               float(m_z1["model_loss"]), rtol=1e-4)
+    for (p_a, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(s_rep.wm_params)[0],
+            jax.tree_util.tree_flatten_with_path(s_z1.wm_params)[0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5, err_msg=str(p_a))
+
+    # the moments stayed partitioned through the jitted step (GSPMD kept the
+    # input layout), and each device holds 1/8 of every sharded leaf
+    sharded = 0
+    for path, leaf in _opt_leaves_with_path(s_z1):
+        shape = tuple(getattr(leaf, "shape", ()) or ())
+        if not any(d % 8 == 0 and d >= 8 for d in shape):
+            continue
+        assert not leaf.sharding.is_fully_replicated, (path, leaf.sharding)
+        shard_elems = int(np.prod(leaf.addressable_shards[0].data.shape))
+        assert shard_elems * 8 == leaf.size, (path, shape)
+        sharded += 1
+    assert sharded > 0

@@ -32,7 +32,7 @@ class Workspace:
 
         from genrl_tpu.agents.assembly import make_agent
         from genrl_tpu.data import ReplayBuffer
-        from genrl_tpu.parallel import batch_sharding, make_mesh, shard_params
+        from genrl_tpu.parallel import batch_sharding, make_mesh, shard_state
         from genrl_tpu.utils.checkpoint import SnapshotManager, apply_resets
         from genrl_tpu.utils.logger import Logger
         from genrl_tpu.utils.schedules import Timer, set_seed_everywhere
@@ -70,6 +70,10 @@ class Workspace:
         import math
 
         mesh_cfg = dict(cfg.get("mesh", {"data": -1, "model": 1}))
+        # mesh.zero1: ZeRO-1 optimizer-state sharding over the batch axes
+        # (genrl_tpu/parallel/mesh.py:state_shardings) — a placement flag,
+        # not a mesh axis, so pop it before make_mesh
+        self.zero1 = bool(mesh_cfg.pop("zero1", False))
         if mesh_cfg.get("data", -1) == -1:
             # the batch axes must divide the batch; clamp to gcd(batch, devices)
             denom = max(1, int(mesh_cfg.get("model", 1))
@@ -231,7 +235,8 @@ class Workspace:
                 reset_imag_behavior=cfg.get("reset_imag_behavior", False),
             )
             print(f"loaded snapshot from {cfg.snapshot_load_dir}")
-        self.state = shard_params(state if state is not None else template, self.mesh)
+        self.state = shard_state(state if state is not None else template,
+                                 self.mesh, zero1=self.zero1)
         self.batch_sharding = batch_sharding(self.mesh)
 
         # host batch feed is built LAZILY: with device-resident replay the
