@@ -207,3 +207,17 @@ def test_snapshot_search_dir(tmp_path, replay_dir):
     run(["train_world_model=True", "seed=3", f"snapshot_search_dir={root}",
          "agent_name_snapshot=genrl"], wd_c, replay_dir, n=2)
     assert (wd_c / "stickman_walk" / "train.csv").exists()
+
+
+def test_zero1_phase_and_resume(tmp_path, replay_dir):
+    """mesh.zero1 end-to-end: the WM+connector phase with ZeRO-1 sharded
+    optimizer state (parallel/mesh.py:state_shardings), including the
+    snapshot write (sharded moments pulled to host) and resume re-placement."""
+    wd = tmp_path / "ws"
+    run(["train_world_model=True", "train_connector=True", "mesh.zero1=True"],
+        wd, replay_dir, n=3)
+    snap_root = wd / "stickman_walk" / "snapshots"
+    assert (snap_root / "last_snapshot").exists()
+    run(["train_world_model=True", "train_connector=True", "mesh.zero1=True"],
+        wd, replay_dir, n=5)
+    assert "model_loss" in (wd / "stickman_walk" / "train.csv").read_text()
