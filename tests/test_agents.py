@@ -187,3 +187,34 @@ def test_make_agent_factory():
     cfg["n_frames"] = 4
     agent = make_agent(cfg, OBS_SPACE, ACT)
     assert isinstance(agent, GenRLAgent)
+
+
+def test_bf16_train_step(rng):
+    """precision=16 (bf16 compute, f32 params) — the DEFAULT for every real
+    TPU run (configs.py precision=16, agents/dreamer.py:41) yet otherwise
+    untested: every other test pins precision=32. One GenRL WM+connector+imag
+    step must stay finite and move params under bf16."""
+    cfg = tiny_cfg(precision=16)
+    cfg["viclip_emb_dim"] = 32
+    cfg["n_frames"] = 4
+    cfg.update_deep({"agent": {"connector_rssm": dict(
+        ensemble=1, hidden=32, deter=32, stoch=4, discrete=4, norm="layer",
+        std_act="softplus", min_std=0.1, single_obs_posterior=False,
+        learn_initial=True)}})
+    agent = GenRLAgent(cfg, OBS_SPACE, ACT, viclip_emb_dim=32, n_frames=4)
+    state = agent.init(jax.random.PRNGKey(0))
+    # params stay f32 (param_dtype), only compute is bf16
+    assert all(x.dtype == jnp.float32
+               for x in jax.tree_util.tree_leaves(state.wm_params))
+    data = tiny_batch(rng, with_clip=True)
+    prompt = np.float32(rng.normal(size=(32,)))
+    prompt /= np.linalg.norm(prompt)
+    target = agent.make_unconditional_target(
+        state, jnp.asarray(prompt), batch=B * T, key=jax.random.PRNGKey(5))
+    step = jax.jit(lambda s, d, t, k: agent.train_step(s, d, k, t, True, True))
+    state2, metrics = step(state, data, target, jax.random.PRNGKey(6))
+    assert finite(metrics), {k: v for k, v in metrics.items() if not finite(v)}
+    for sub in ("wm_params", "connector_params"):
+        a = jax.tree_util.tree_leaves(getattr(state, sub))[0]
+        b = jax.tree_util.tree_leaves(getattr(state2, sub))[0]
+        assert not np.allclose(a, b), sub
