@@ -322,8 +322,10 @@ class Workspace:
 
 def main(argv=None):
     from genrl_tpu.configs import COLLECT_BASE, PRESETS
+    from genrl_tpu.parallel import honor_platform_env
     from genrl_tpu.utils.config import compose
 
+    honor_platform_env()
     argv = list(sys.argv[1:] if argv is None else argv)
     cfg = compose(PRESETS, COLLECT_BASE, argv)
     Workspace(cfg).train()

@@ -17,6 +17,19 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def honor_platform_env() -> None:
+    """Make `JAX_PLATFORMS=cpu <cli>` actually run on CPU. Deployments may
+    register a hardware PJRT plugin from sitecustomize at interpreter start;
+    once that import has happened, the env var alone no longer wins and only
+    `jax.config` does — so a CPU-forced CLI run would silently (or, with the
+    hardware link down, hangingly) still target the plugin. Call this at the
+    top of every CLI main()."""
+    import os
+
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+
 def initialize_distributed(coordinator_address: Optional[str] = None,
                            num_processes: Optional[int] = None,
                            process_id: Optional[int] = None) -> None:

@@ -160,8 +160,10 @@ class Workspace:
 
 def main(argv=None):
     from genrl_tpu.configs import PRESETS, PROCESS_BASE
+    from genrl_tpu.parallel import honor_platform_env
     from genrl_tpu.utils.config import compose
 
+    honor_platform_env()
     argv = list(sys.argv[1:] if argv is None else argv)
     cfg = compose(PRESETS, PROCESS_BASE, argv)
     Workspace(cfg).process()

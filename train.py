@@ -617,7 +617,10 @@ def main(argv=None):
     import os
 
     from genrl_tpu.configs import PRESETS, TRAIN_BASE
+    from genrl_tpu.parallel import honor_platform_env
     from genrl_tpu.utils.config import compose
+
+    honor_platform_env()
 
     if os.environ.get("GENRL_WATCHDOG"):
         # remote-TPU links can wedge a dispatch indefinitely; dump all thread
