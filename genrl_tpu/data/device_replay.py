@@ -66,9 +66,12 @@ class DeviceReplay:
             majority = max(counts, key=lambda s: (counts[s], len(s)))
             keep = [ep for ep in episodes if majority <= set(ep.keys())]
             if len(keep) < len(episodes):
+                missing = sorted({k for ep in episodes
+                                  if not (majority <= set(ep.keys()))
+                                  for k in majority - set(ep.keys())})
                 print(f"device replay: skipping {len(episodes) - len(keep)} "
-                      f"episode(s) missing schema keys "
-                      f"{sorted(majority)} (partial dataset?)")
+                      f"episode(s) missing schema key(s) "
+                      f"{missing} (partial dataset?)")
             episodes = keep
             keys = sorted(majority)
         self.keys = [k for k in keys if k in episodes[0]]
