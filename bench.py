@@ -50,6 +50,13 @@ def _require_tpu_relay():
         print("bench.py: TPU relay on 127.0.0.1:8082 is not accepting "
               "connections — jax init would hang, not fail. Aborting; restart "
               "the axon tunnel and rerun.", file=sys.stderr)
+        # still emit the one-JSON-line contract so an unattended harness
+        # records a structured failure instead of an empty parse
+        print(json.dumps({
+            "metric": "wm_connector_grad_steps_per_sec", "value": 0.0,
+            "unit": "steps/s", "vs_baseline": 0.0,
+            "error": "tpu_relay_down (127.0.0.1:8082 refused; jax init would hang)",
+        }))
         raise SystemExit(2)
 
 
