@@ -11,13 +11,17 @@
 set -x
 cd /root/repo
 export JAX_PLATFORMS=cpu
+export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
 TASK=stickman_walk
 EV=evidence/pipeline
 OUT=$EV/cpu_fallback
 
-WM_STEPS=${WM_STEPS:-4000}
-BEH_STEPS=${BEH_STEPS:-3000}
-BS=${BS:-16}
+# measured on this 1-core VM: ~12 s/step at 16x16 (256 frames), so the
+# default is 8x16 (~6 s/step) — maximizes grad steps while keeping
+# batch_length >= imag_horizon
+WM_STEPS=${WM_STEPS:-3000}
+BEH_STEPS=${BEH_STEPS:-2500}
+BS=${BS:-8}
 BL=${BL:-16}
 
 # Reduced model for 1-core CPU: the full 1024-dim WM measures 27 s/step
@@ -32,15 +36,15 @@ agent.connector_rssm.hidden=256 agent.connector_rssm.deter=256
 encoder.cnn_depth=24 decoder.cnn_depth=24"
 
 echo "cpu_fallback: WM ${WM_STEPS} steps @${BS}x${BL}" > runs/cpu_fallback.status
-timeout ${WM_T:-16200} python -u train.py task=$TASK train_world_model=True \
+timeout ${WM_T:-16800} python -u train.py task=$TASK train_world_model=True \
     train_connector=True replay_load_dir=$EV/dataset_r3 embed_whiten=True \
     num_train_frames=$((WM_STEPS + 10)) batch_size=$BS batch_length=$BL \
     $SMALL \
     viclip_encode=False save_every_frames=500 steps_per_dispatch=5 \
-    workdir=$OUT/wm > runs/cpu_fallback_wm.log 2>&1
+    log_every_frames=200 workdir=$OUT/wm > runs/cpu_fallback_wm.log 2>&1
 echo "wm rc=$? at $(date -u +%H:%M:%S); behavior" >> runs/cpu_fallback.status
 
-timeout ${BEH_T:-12600} python -u train.py task=$TASK \
+timeout ${BEH_T:-10800} python -u train.py task=$TASK \
     agent.imag_reward_fn=video_video_reward task_video=$EV/prompt_r3b.mp4 \
     embed_whiten=True agent.imag_reward_args.align_initial=True \
     agent.imag_reward_args.align_sequence=False \
@@ -49,5 +53,5 @@ timeout ${BEH_T:-12600} python -u train.py task=$TASK \
     eval_modality=task_imag eval_every_frames=1000 num_eval_episodes=3 \
     snapshot_load_dir=$OUT/wm/$TASK/snapshots replay_load_dir=$EV/dataset_r3 \
     viclip_encode=False save_every_frames=500 steps_per_dispatch=5 \
-    workdir=$OUT/beh > runs/cpu_fallback_beh.log 2>&1
+    log_every_frames=200 workdir=$OUT/beh > runs/cpu_fallback_beh.log 2>&1
 echo "beh rc=$? at $(date -u +%H:%M:%S); done" >> runs/cpu_fallback.status
