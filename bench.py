@@ -39,7 +39,13 @@ def _require_tpu_relay():
     eat the driver's whole unattended timeout. A closed :8082 means the
     relay process is gone — exit loudly instead."""
     if "axon" not in os.environ.get("JAX_PLATFORMS", ""):
-        return  # cpu/tpu override (e.g. the CPU smoke test) — nothing to probe
+        # cpu/tpu override (e.g. the CPU smoke test) — nothing to probe; but
+        # the env var alone no longer wins once sitecustomize registered the
+        # hardware plugin, so apply the jax.config override too
+        from genrl_tpu.parallel import honor_platform_env
+
+        honor_platform_env()
+        return
     import socket
     import sys
 

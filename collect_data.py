@@ -92,9 +92,8 @@ class Workspace:
             for ep in self.replay.episodes()[-self.device_ring.capacity:]:
                 self.device_ring.add_episode(ep)
 
-        mesh_cfg = dict(cfg.get("mesh", {"data": 1, "model": 1}), data=1)
-        mesh_cfg.pop("zero1", None)  # placement flag (train-time only), not a mesh axis
-        self.mesh = make_mesh(**mesh_cfg)
+        self.mesh = make_mesh(**dict(cfg.get("mesh", {"data": 1, "model": 1}),
+                                     data=1))
         self.agent = make_agent(cfg, obs_space, act_dim)
         self.state = shard_params(self.agent.init(
             jax.random.PRNGKey(int(cfg.seed))), self.mesh)

@@ -47,7 +47,8 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     initialize_distributed._done = True
 
 
-def make_mesh(data: int = -1, model: int = 1, dcn: int = 1, devices=None) -> Mesh:
+def make_mesh(data: int = -1, model: int = 1, dcn: int = 1, devices=None,
+              zero1: bool = False) -> Mesh:
     """Build a (data, model) mesh — or (dcn, data, model) when `dcn > 1` for
     multi-slice pods (the scaling-book recipe: pure data parallelism over the
     slow DCN links, ICI-bound data/tensor sharding inside each slice). The
@@ -55,7 +56,12 @@ def make_mesh(data: int = -1, model: int = 1, dcn: int = 1, devices=None) -> Mes
     gradient psums reduce within a slice over ICI first and only the
     slice-summed gradients cross DCN. data=-1 uses all remaining devices.
     Under multi-process execution `jax.devices()` is the GLOBAL device set,
-    so the mesh spans hosts."""
+    so the mesh spans hosts.
+
+    `zero1` is accepted (and ignored) so callers can splat a full
+    `cfg.mesh` dict — it is a *placement* flag consumed by
+    `state_shardings`/`shard_state`, not a mesh axis."""
+    del zero1
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if data == -1:

@@ -61,7 +61,6 @@ class Workspace:
 
         mesh = None
         mesh_cfg = dict(cfg.get("mesh", {}))
-        mesh_cfg.pop("zero1", None)  # placement flag (train-time only), not a mesh axis
         if int(mesh_cfg.get("model", 1)) > 1:
             # TP config path for the ViT tower (SURVEY §2.10): shards qkv/fc1
             # column- and proj/fc2 row-parallel over the `model` mesh axis

@@ -71,9 +71,8 @@ class Workspace:
 
         mesh_cfg = dict(cfg.get("mesh", {"data": -1, "model": 1}))
         # mesh.zero1: ZeRO-1 optimizer-state sharding over the batch axes
-        # (genrl_tpu/parallel/mesh.py:state_shardings) — a placement flag,
-        # not a mesh axis, so pop it before make_mesh
-        self.zero1 = bool(mesh_cfg.pop("zero1", False))
+        # (genrl_tpu/parallel/mesh.py:state_shardings; make_mesh ignores it)
+        self.zero1 = bool(mesh_cfg.get("zero1", False))
         if mesh_cfg.get("data", -1) == -1:
             # the batch axes must divide the batch; clamp to gcd(batch, devices)
             denom = max(1, int(mesh_cfg.get("model", 1))
