@@ -28,6 +28,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 BATCH, LENGTH = 16, 16
 BEH_BATCH, BEH_LENGTH = 32, 32
 WARMUP, MEASURE = 3, 30
+# grad steps per dispatched program — the production dispatch shape shared
+# with train.py (steps_per_dispatch) and bench.py (CHUNK): one prologue
+# window-gather per chunk and metrics only on the chunk's last step
+CHUNK = 10
 
 # peak dense matmul throughput per chip, by device_kind prefix
 PEAK_FLOPS = {
@@ -83,7 +87,7 @@ def main():
 
     from genrl_tpu.agents.assembly import GenRLAgent
     from genrl_tpu.configs import TRAIN_BASE
-    from genrl_tpu.data.device_replay import DeviceReplay, sample_windows
+    from genrl_tpu.data.device_replay import DeviceReplay, fused_chunk
     from genrl_tpu.parallel import make_mesh, replicated
     from genrl_tpu.utils.config import Config
     from __graft_entry__ import init_on_host
@@ -104,6 +108,11 @@ def main():
         out_path.write_text(json.dumps(results, indent=1))  # incremental
 
     groups = set(os.environ.get("BENCH_ONLY", "agent,iv2").split(","))
+    # BENCH_CONFIGS="3,3b" refreshes just those configs, merging into the
+    # existing BENCH_ALL.json (each emit() writes incrementally)
+    sel = os.environ.get("BENCH_CONFIGS")
+    want = lambda name: sel is None or any(
+        name.split("_")[0] == p.strip() for p in sel.split(","))
 
     cfg = Config.from_dict(TRAIN_BASE)
     cfg["precision"] = 16
@@ -119,62 +128,88 @@ def main():
     base_key = jax.random.PRNGKey(1234)
 
     def make_step(twm, tconn, target, B, L):
-        def fused(s, arrays, ep_len, base, step):
-            k1, k2 = jax.random.split(jax.random.fold_in(base, step))
-            d = sample_windows(arrays, ep_len, k1, B, L, None)
-            return agent.train_step(s, d, k2, target_seq=target,
-                                    train_world_model=twm, train_connector=tconn)
-
-        j = jax.jit(fused, donate_argnums=(0,))
-        lowered = j.lower(state0, replay.arrays, replay.ep_len, base_key, 0)
+        # the SAME dispatch body train.py executes (device_replay.fused_chunk:
+        # one prologue gather of all CHUNK windows, metrics only on the last
+        # step) — each timed call is CHUNK grad steps; timed() results are
+        # rescaled by the caller
+        agent_step = lambda s, d, k: agent.train_step(
+            s, d, k, target_seq=target,
+            train_world_model=twm, train_connector=tconn)
+        chunk = fused_chunk(agent_step, CHUNK, B, L, base_key,
+                            jax.random.PRNGKey(5678))
+        j = jax.jit(chunk, donate_argnums=(0,))
+        lowered = j.lower(state0, 0, replay.arrays, replay.ep_len)
         compiled = lowered.compile()
-        args = lambda s, i: (s, replay.arrays, replay.ep_len, base_key, i)
+        args = lambda s, i: (s, i * CHUNK, replay.arrays, replay.ep_len)
         return compiled, args
 
     # ---- config 1: WM-only ----------------------------------------------------------
-    step1, args1 = make_step(True, False, None, BATCH, LENGTH)
-    f1 = flops_of(step1)
-    sps1, _ = timed(step1, args1, state0)
-    emit("1_wm_training", steps_per_sec=sps1,
-         flops_per_step=f1, mfu=(sps1 * f1 / peak) if f1 else None,
-         note="batch 16x16, stickman fixture, bf16")
+    if want("1_wm_training"):
+        step1, args1 = make_step(True, False, None, BATCH, LENGTH)
+        f1 = flops_of(step1)
+        n1, _ = timed(step1, args1, state0)
+        sps1 = n1 * CHUNK
+        emit("1_wm_training", steps_per_sec=sps1,
+             flops_per_step=(f1 / CHUNK) if f1 else None,
+             mfu=(n1 * f1 / peak) if f1 else None,
+             note=f"batch 16x16, stickman fixture, bf16, {CHUNK}-step dispatch")
 
     # ---- config 3: WM + connector ---------------------------------------------------
-    state0 = init_on_host(agent, jax.random.PRNGKey(0))  # step1 donated it
-    step3, args3 = make_step(True, True, None, BATCH, LENGTH)
-    f3 = flops_of(step3)
-    sps3, _ = timed(step3, args3, state0)
-    emit("3_wm_connector_training", steps_per_sec=sps3,
-         flops_per_step=f3, mfu=(sps3 * f3 / peak) if f3 else None,
-         note="batch 16x16, stickman fixture, bf16 (the bench.py config)")
+    if want("3_wm_connector_training"):
+        state0 = init_on_host(agent, jax.random.PRNGKey(0))  # 1 donated it
+        step3, args3 = make_step(True, True, None, BATCH, LENGTH)
+        f3 = flops_of(step3)
+        n3, _ = timed(step3, args3, state0)
+        sps3 = n3 * CHUNK
+        emit("3_wm_connector_training", steps_per_sec=sps3,
+             flops_per_step=(f3 / CHUNK) if f3 else None,
+             mfu=(n3 * f3 / peak) if f3 else None,
+             note="batch 16x16, stickman fixture, bf16, "
+                  f"{CHUNK}-step dispatch (the bench.py config)")
 
     # ---- config 3b: WM + connector at reference scale (48x48) -----------------------
     # the reference pretrains at batch_size=48, batch_length=48
     # (conf/defaults/genrl.yaml:30-31); VERDICT r2 asked for this number
-    state0 = init_on_host(agent, jax.random.PRNGKey(0))
-    step3b, args3b = make_step(True, True, None, 48, 48)
-    f3b = flops_of(step3b)
-    sps3b, _ = timed(step3b, args3b, state0, n=10)
-    emit("3b_wm_connector_48x48", steps_per_sec=sps3b,
-         flops_per_step=f3b, mfu=(sps3b * f3b / peak) if f3b else None,
-         note="batch 48x48 (reference pretrain scale), stickman fixture, bf16")
+    if want("3b_wm_connector_48x48"):
+        state0 = init_on_host(agent, jax.random.PRNGKey(0))
+        step3b, args3b = make_step(True, True, None, 48, 48)
+        f3b = flops_of(step3b)
+        n3b, _ = timed(step3b, args3b, state0, n=3)
+        sps3b = n3b * CHUNK
+        emit("3b_wm_connector_48x48", steps_per_sec=sps3b,
+             flops_per_step=(f3b / CHUNK) if f3b else None,
+             mfu=(n3b * f3b / peak) if f3b else None,
+             note="batch 48x48 (reference pretrain scale), stickman fixture, "
+                  f"bf16, {CHUNK}-step dispatch")
 
     # ---- config 4: behavior learning from language ------------------------------------
-    state0 = init_on_host(agent, jax.random.PRNGKey(0))
     prompt = np.random.default_rng(0).normal(size=(512,)).astype(np.float32)
     prompt /= np.linalg.norm(prompt)
-    target = agent.make_unconditional_target(
-        state0, jnp.asarray(prompt), batch=BEH_BATCH * BEH_LENGTH,
-        key=jax.random.PRNGKey(3))
-    step4, args4 = make_step(False, False, target, BEH_BATCH, BEH_LENGTH)
-    f4 = flops_of(step4)
-    sps4, _ = timed(step4, args4, state0)
     hor = int(cfg.imag_horizon)
-    emit("4_behavior_language", steps_per_sec=sps4,
-         imagined_latent_frames_per_sec=sps4 * BEH_BATCH * BEH_LENGTH * hor,
-         flops_per_step=f4, mfu=(sps4 * f4 / peak) if f4 else None,
-         note=f"batch {BEH_BATCH}x{BEH_LENGTH}, horizon {hor}, "
-              "video_text_reward align_sequence, data observe + imag behavior")
+    need_target = (want("4_behavior_language") or want("5_data_free_rl")
+                   or want("5b_t2v_decode"))
+    if need_target:
+        state0 = init_on_host(agent, jax.random.PRNGKey(0))
+        target = agent.make_unconditional_target(
+            state0, jnp.asarray(prompt), batch=BEH_BATCH * BEH_LENGTH,
+            key=jax.random.PRNGKey(3))
+    if want("4_behavior_language"):
+        step4, args4 = make_step(False, False, target, BEH_BATCH, BEH_LENGTH)
+        f4 = flops_of(step4)
+        n4, _ = timed(step4, args4, state0)
+        sps4 = n4 * CHUNK
+        emit("4_behavior_language", steps_per_sec=sps4,
+             imagined_latent_frames_per_sec=sps4 * BEH_BATCH * BEH_LENGTH * hor,
+             flops_per_step=(f4 / CHUNK) if f4 else None,
+             mfu=(n4 * f4 / peak) if f4 else None,
+             note=f"batch {BEH_BATCH}x{BEH_LENGTH}, horizon {hor}, "
+                  "video_text_reward align_sequence, data observe + imag "
+                  f"behavior, {CHUNK}-step dispatch")
+
+    if not want("5_data_free_rl") and not want("5b_t2v_decode"):
+        if "iv2" in groups:
+            bench_iv2(emit, peak)
+        return
 
     # ---- config 5: data-free RL + t2v decode ------------------------------------------
     state0 = init_on_host(agent, jax.random.PRNGKey(0))
@@ -209,7 +244,10 @@ def main():
          note=f"{T}-frame 64px text-to-video decode (demo/t2v.py path)")
 
     # ---- config 2: InternVideo2-1B embedding ------------------------------------------
-    del state0, state5, step1, step3, step4, step5  # free HBM for the 1B tower
+    # drop refs so XLA frees HBM for the 1B tower (plain assignment — del
+    # would NameError on names skipped by a BENCH_CONFIGS selection)
+    state0 = state5 = target = None
+    step1 = step3 = step3b = step4 = step5 = step_t2v = None  # noqa: F841
     if "iv2" in groups:
         bench_iv2(emit, peak)
 
