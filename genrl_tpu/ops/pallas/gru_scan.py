@@ -153,6 +153,8 @@ def _bwd_kernel(gout_ref, xp_ref, m_ref, hprev_ref, h0_ref, w_ref, g_ref,
         dg_ref[:] = jnp.zeros_like(dg_ref)
         db_ref[:] = jnp.zeros_like(db_ref)
 
+    K3 = xp_ref.shape[-1]
+
     gf = g_ref[0].astype(jnp.float32)
     bf = b_ref[0].astype(jnp.float32)
     m = m_ref[0].astype(jnp.float32)  # [BT, 1]
@@ -173,8 +175,12 @@ def _bwd_kernel(gout_ref, xp_ref, m_ref, hprev_ref, h0_ref, w_ref, g_ref,
     dr = dc * one_m_c2 * z[:, K : 2 * K]
     dr_pre = dr * r * (1.0 - r)
     dz = jnp.concatenate([dr_pre, dc_pre, du_pre], axis=-1)
-    dg_ref[:] += jnp.sum(dz * zn, axis=0, keepdims=True)
-    db_ref[:] += jnp.sum(dz, axis=0, keepdims=True)
+    # dg/db blocks are [1, 1, K3]: the per-batch-tile accumulators carry a
+    # singleton middle axis so the block's LAST TWO dims equal the array's —
+    # a 2-D (nb, K3) array with (1, K3) blocks fails Mosaic lowering whenever
+    # nb > 1 (second-minor block dim must be 8-divisible or full)
+    dg_ref[:] += jnp.sum(dz * zn, axis=0, keepdims=True).reshape(1, 1, K3)
+    db_ref[:] += jnp.sum(dz, axis=0, keepdims=True).reshape(1, 1, K3)
     dzn = dz * gf
     da = (dzn - jnp.mean(dzn, -1, keepdims=True)
           - zn * jnp.mean(dzn * zn, -1, keepdims=True)) * inv
@@ -217,14 +223,14 @@ def _bwd(res, gout):
         out_shape=(
             jax.ShapeDtypeStruct((T, B, K3), jnp.float32),  # da
             jax.ShapeDtypeStruct((B, K), jnp.float32),      # d_deter0
-            jax.ShapeDtypeStruct((nb, K3), jnp.float32),    # dg per tile
-            jax.ShapeDtypeStruct((nb, K3), jnp.float32),    # db per tile
+            jax.ShapeDtypeStruct((nb, 1, K3), jnp.float32),  # dg per tile
+            jax.ShapeDtypeStruct((nb, 1, K3), jnp.float32),  # db per tile
         ),
         out_specs=(
             pl.BlockSpec((1, BT, K3), lambda i, t: (T - 1 - t, i, 0)),
             pl.BlockSpec((BT, K), lambda i, t: (i, 0)),
-            pl.BlockSpec((1, K3), lambda i, t: (i, 0)),
-            pl.BlockSpec((1, K3), lambda i, t: (i, 0)),
+            pl.BlockSpec((1, 1, K3), lambda i, t: (i, 0, 0)),
+            pl.BlockSpec((1, 1, K3), lambda i, t: (i, 0, 0)),
         ),
         scratch_shapes=[pltpu.VMEM((BT, K), jnp.float32)],
         args=(gout.astype(jnp.float32), x_proj, mcol, deters, deter0, wc,
@@ -240,7 +246,7 @@ def _bwd(res, gout):
         (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     return (da.astype(x_proj.dtype), jnp.zeros_like(mask),
             dh0.astype(deter0.dtype), dw.astype(w.dtype),
-            dg_t.sum(0).astype(g.dtype), db_t.sum(0).astype(b.dtype))
+            dg_t.sum((0, 1)).astype(g.dtype), db_t.sum((0, 1)).astype(b.dtype))
 
 
 # ---------------------------------------------------------------------------------
