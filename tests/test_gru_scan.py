@@ -39,11 +39,46 @@ def test_forward_matches_reference():
 
 
 def test_forward_multiple_batch_tiles():
-    args = _inputs(T=3, B=32, K=128, seed=1)
+    # B=48 -> tile 16, THREE grid tiles (B=32 picks tile 32 = one tile)
+    args = _inputs(T=3, B=48, K=128, seed=1)
     out = gru_scan(*args)
     ref = gru_scan_reference(*args)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_grads_multiple_batch_tiles():
+    """B=48 gives nb=3 batch tiles — the reference-scale 48x48 pretrain
+    config. Regression for the Mosaic lowering bug where the per-tile dg/db
+    accumulators were (nb, K3) arrays with (1, K3) blocks (invalid whenever
+    nb > 1); grads must also stay exact across tiles."""
+    args = _inputs(T=4, B=48, K=128, seed=7)
+    probe = jax.random.normal(jax.random.PRNGKey(11), (4, 48, 128))
+
+    def loss(fn, *a):
+        return jnp.sum(fn(*a) * probe)
+
+    gk = jax.grad(lambda *a: loss(gru_scan, *a), argnums=(0, 2, 3, 4, 5))(*args)
+    gr = jax.grad(lambda *a: loss(gru_scan_reference, *a),
+                  argnums=(0, 2, 3, 4, 5))(*args)
+    for a, b, n in zip(gk, gr, ["x_proj", "deter0", "w", "g", "b"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4, err_msg=n)
+
+
+def test_bwd_mosaic_lowering_multi_tile():
+    """Lower (not run) the kernel VJP at the production 48x48/K=1024 shape on
+    a real TPU backend — interpret mode skips Mosaic's block-mapping checks,
+    so only lowering exposes invalid BlockSpecs. Skipped on the CPU test mesh."""
+    if jax.default_backend() == "cpu":
+        pytest.skip("needs a TPU backend for Mosaic lowering")
+    T, B, K = 48, 48, 1024
+    xp = jnp.zeros((T, B, 3 * K), jnp.bfloat16)
+    args = (xp, jnp.zeros((T, B), jnp.float32), jnp.zeros((B, K)),
+            jnp.zeros((K, 3 * K)), jnp.ones((3 * K,)), jnp.zeros((3 * K,)))
+    f = jax.jit(jax.grad(lambda *a: jnp.sum(gru_scan(*a)),
+                         argnums=(0, 2, 3, 4, 5)))
+    f.lower(*args)  # raises on invalid block mappings
 
 
 @pytest.mark.parametrize("argnum,name", [
