@@ -44,8 +44,12 @@ UPDATE_BIAS = -1.0
 
 
 def _pick_btile(B: int):
-    for bt in (256, 128, 64, 32, 16, 8):
-        if B % bt == 0:
+    # largest batch tile <=256 that divides B and satisfies Mosaic's
+    # 8-divisible second-minor-dim rule — NOT restricted to powers of two:
+    # B=48 (the reference pretrain batch) runs as ONE 48-row tile instead of
+    # three 16-row tiles whose M=16 matmuls underfill the 128x128 MXU
+    for bt in range(min(B, 256), 7, -1):
+        if B % bt == 0 and bt % 8 == 0:
             return bt
     return None
 

@@ -38,9 +38,18 @@ def test_forward_matches_reference():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_btile_selection():
+    from genrl_tpu.ops.pallas.gru_scan import _pick_btile
+
+    assert _pick_btile(48) == 48     # reference pretrain batch: ONE tile
+    assert _pick_btile(16) == 16
+    assert _pick_btile(512) == 256   # true multi-tile beyond the 256 cap
+    assert _pick_btile(7) is None
+
+
 def test_forward_multiple_batch_tiles():
-    # B=48 -> tile 16, THREE grid tiles (B=32 picks tile 32 = one tile)
-    args = _inputs(T=3, B=48, K=128, seed=1)
+    # B=512 -> tile 256, TWO grid tiles (any B<=256 divisible by 8 is one)
+    args = _inputs(T=3, B=512, K=128, seed=1)
     out = gru_scan(*args)
     ref = gru_scan_reference(*args)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
@@ -48,12 +57,12 @@ def test_forward_multiple_batch_tiles():
 
 
 def test_grads_multiple_batch_tiles():
-    """B=48 gives nb=3 batch tiles — the reference-scale 48x48 pretrain
-    config. Regression for the Mosaic lowering bug where the per-tile dg/db
-    accumulators were (nb, K3) arrays with (1, K3) blocks (invalid whenever
-    nb > 1); grads must also stay exact across tiles."""
-    args = _inputs(T=4, B=48, K=128, seed=7)
-    probe = jax.random.normal(jax.random.PRNGKey(11), (4, 48, 128))
+    """B=512 gives nb=2 batch tiles. Regression for the Mosaic lowering bug
+    where the per-tile dg/db accumulators were (nb, K3) arrays with (1, K3)
+    blocks (invalid whenever nb > 1); grads must also stay exact across
+    tiles."""
+    args = _inputs(T=4, B=512, K=128, seed=7)
+    probe = jax.random.normal(jax.random.PRNGKey(11), (4, 512, 128))
 
     def loss(fn, *a):
         return jnp.sum(fn(*a) * probe)
@@ -66,16 +75,19 @@ def test_grads_multiple_batch_tiles():
                                    rtol=2e-4, atol=2e-4, err_msg=n)
 
 
-def test_bwd_mosaic_lowering_multi_tile():
-    """Lower (not run) the kernel VJP at the production 48x48/K=1024 shape on
-    a real TPU backend — interpret mode skips Mosaic's block-mapping checks,
-    so only lowering exposes invalid BlockSpecs. Skipped on the CPU test mesh."""
+@pytest.mark.parametrize("B", [48, 512])
+def test_bwd_mosaic_lowering(B):
+    """Lower (not run) the kernel VJP at production shapes on a real TPU
+    backend — interpret mode skips Mosaic's block-mapping checks, so only
+    lowering exposes invalid BlockSpecs. Skipped on the CPU test mesh.
+    Abstract args: no HBM is touched."""
     if jax.default_backend() == "cpu":
         pytest.skip("needs a TPU backend for Mosaic lowering")
-    T, B, K = 48, 48, 1024
-    xp = jnp.zeros((T, B, 3 * K), jnp.bfloat16)
-    args = (xp, jnp.zeros((T, B), jnp.float32), jnp.zeros((B, K)),
-            jnp.zeros((K, 3 * K)), jnp.ones((3 * K,)), jnp.zeros((3 * K,)))
+    T, K = 48, 1024
+    S = jax.ShapeDtypeStruct
+    args = (S((T, B, 3 * K), jnp.bfloat16), S((T, B), jnp.float32),
+            S((B, K), jnp.float32), S((K, 3 * K), jnp.float32),
+            S((3 * K,), jnp.float32), S((3 * K,), jnp.float32))
     f = jax.jit(jax.grad(lambda *a: jnp.sum(gru_scan(*a)),
                          argnums=(0, 2, 3, 4, 5)))
     f.lower(*args)  # raises on invalid block mappings
