@@ -396,6 +396,7 @@ class GenRLAgent(DreamerAgent):
             align_initial=bool(args.get("align_initial", False)),
             align_sequence=bool(args.get("align_sequence", True)),
             weighted_align=bool(args.get("weighted_align", False)),
+            weighted_align_compat=bool(args.get("weighted_align_compat", False)),
         )
 
     def update_imag_behavior(self, state: AgentState, post, is_terminal, target_seq, key):

@@ -133,6 +133,10 @@ _AGENT_GENRL = dict(
         imag_reward_norm=dict(momentum=1.00, scale=1.0, eps=1e-8),
         imag_reward_args=dict(score_fn="max_cosine", sample_for_target=False,
                               align_initial=False, weighted_align=False,
+                              # reference batch-axis cumprod for parity
+                              # audits (genrl_utils.py:330-333) — see
+                              # rewards/plugins.py:aligned_similarity_reward
+                              weighted_align_compat=False,
                               align_sequence=True, skip_first_target=True),
     ),
 )

@@ -191,13 +191,6 @@ class InternVideo2ViT(nn.Module):
     def num_patches(self) -> int:
         return (self.num_frames // self.tubelet_size) * self.grid_hw**2
 
-    def _pos_embed_init(self, key, shape):
-        del key
-        t = shape[0] // (self.grid_hw**2) if shape[0] > 1 else 1
-        pos = get_3d_sincos_pos_embed(self.embed_dim, self.grid_hw,
-                                      (shape[0] - 1) // (self.grid_hw**2), cls_token=True)
-        return jnp.asarray(pos, jnp.float32)
-
     @nn.compact
     def __call__(self, x: jax.Array, use_image: bool = False) -> jax.Array:
         """x: [B, T, H, W, 3] float (already resized + ImageNet-normalized).

@@ -43,20 +43,25 @@ LN_EPS = 1e-5
 UPDATE_BIAS = -1.0
 
 
-def _pick_btile(B: int):
+def _pick_btile(B: int, dtype=jnp.float32):
     # largest batch tile <=256 that divides B and satisfies Mosaic's
-    # 8-divisible second-minor-dim rule — NOT restricted to powers of two:
+    # second-minor-dim tiling rule — NOT restricted to powers of two:
     # B=48 (the reference pretrain batch) runs as ONE 48-row tile instead of
-    # three 16-row tiles whose M=16 matmuls underfill the 128x128 MXU
-    for bt in range(min(B, 256), 7, -1):
-        if B % bt == 0 and bt % 8 == 0:
+    # three 16-row tiles whose M=16 matmuls underfill the 128x128 MXU.
+    # The sublane tile is dtype-dependent ((8,128) f32, (16,128) bf16), so
+    # bf16 inputs additionally require 16-divisible tiles — an 8-but-not-16
+    # tile (B=24/40/56...) would pass this picker and then crash in Mosaic
+    # lowering at compile time, the exact bug class the multi-tile fix closed
+    div = 16 if jnp.dtype(dtype).itemsize < 4 else 8
+    for bt in range(min(B, 256), div - 1, -1):
+        if B % bt == 0 and bt % div == 0:
             return bt
     return None
 
 
-def supported(B: int, K: int) -> bool:
+def supported(B: int, K: int, dtype=jnp.float32) -> bool:
     """Shapes the kernel handles; callers fall back to the XLA scan else."""
-    return _pick_btile(B) is not None and K % 128 == 0 and K > 0
+    return _pick_btile(B, dtype) is not None and K % 128 == 0 and K > 0
 
 
 def _call(kernel, grid, in_specs, out_shape, out_specs, scratch_shapes, args,
@@ -118,7 +123,7 @@ def _fwd_kernel(xp_ref, m_ref, h0_ref, w_ref, g_ref, b_ref, out_ref, h_ref):
 def _fwd(x_proj, mask, deter0, w, g, b):
     T, B, K3 = x_proj.shape
     K = K3 // 3
-    BT = _pick_btile(B)
+    BT = _pick_btile(B, x_proj.dtype)
     grid = (B // BT, T)
     wc = w.astype(x_proj.dtype)  # bf16 weights when compute is bf16
     out = _call(
@@ -206,7 +211,7 @@ def _bwd(res, gout):
     x_proj, mask, deter0, w, g, b, deters = res
     T, B, K3 = x_proj.shape
     K = K3 // 3
-    BT = _pick_btile(B)
+    BT = _pick_btile(B, x_proj.dtype)
     nb = B // BT
     grid = (nb, T)
     mcol = mask.reshape(T, B, 1).astype(jnp.float32)

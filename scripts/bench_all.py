@@ -98,8 +98,18 @@ def main():
     results = {}
 
     out_path = Path(os.environ.get("BENCH_ALL_OUT", "BENCH_ALL.json"))
-    if out_path.exists():  # merge with a previous partial run
+    # Merge into an existing file ONLY for a selective refresh
+    # (BENCH_CONFIGS/BENCH_MERGE) — a full run starts fresh so the table is
+    # internally coherent (one chip, one code rev, one sitting; VERDICT r3
+    # found a stale round-2 file contradicting bench.py)
+    if out_path.exists() and (os.environ.get("BENCH_CONFIGS")
+                              or os.environ.get("BENCH_MERGE")):
         results.update(json.loads(out_path.read_text()))
+    results["_meta"] = {
+        "device": str(dev), "device_kind": getattr(dev, "device_kind", "?"),
+        "peak_tflops": peak / 1e12,
+        "generated_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
 
     def emit(name, **kv):
         kv = {k: (round(v, 4) if isinstance(v, float) else v) for k, v in kv.items()}
@@ -208,6 +218,11 @@ def main():
 
     if not want("5_data_free_rl") and not want("5b_t2v_decode"):
         if "iv2" in groups:
+            # drop live refs so XLA frees HBM for the 1B tower, mirroring the
+            # end-of-main cleanup (a selective run keeping 1/3/3b/4 alive can
+            # otherwise OOM the InternVideo2 bench)
+            state0 = target = None
+            step1 = step3 = step3b = step4 = None  # noqa: F841
             bench_iv2(emit, peak)
         return
 
@@ -219,12 +234,22 @@ def main():
     f5 = flops_of(step5)
     keyed = lambda s, i: (s, target, jax.random.fold_in(base_key, i))
     sps5, state5 = timed(step5, keyed, state0)
-    emit("5_data_free_rl", steps_per_sec=sps5,
-         imagined_latent_frames_per_sec=sps5 * BEH_BATCH * BEH_LENGTH * hor,
-         flops_per_step=f5, mfu=(sps5 * f5 / peak) if f5 else None,
-         note="batch 32x32, synthetic starts (mix), video-prompt reward")
+    # step5/state5 must run even for a 5b-only selection (t2v decodes from
+    # state5), but only emit what was asked for — an unguarded emit would
+    # overwrite the stored result of the config the user did NOT refresh
+    if want("5_data_free_rl"):
+        emit("5_data_free_rl", steps_per_sec=sps5,
+             imagined_latent_frames_per_sec=sps5 * BEH_BATCH * BEH_LENGTH * hor,
+             flops_per_step=f5, mfu=(sps5 * f5 / peak) if f5 else None,
+             note="batch 32x32, synthetic starts (mix), video-prompt reward")
 
     # t2v decode: text embed -> connector video_imagine -> decoder pixels
+    if not want("5b_t2v_decode"):
+        state0 = state5 = target = None
+        step5 = None  # noqa: F841
+        if "iv2" in groups:
+            bench_iv2(emit, peak)
+        return
     T = 8 * agent.n_frames
 
     def t2v(s, emb, k):
