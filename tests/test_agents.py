@@ -124,6 +124,7 @@ class TestGenRL:
         c1 = jax.tree_util.tree_leaves(state2.connector_params)[0]
         assert not np.allclose(c0, c1)
 
+    @pytest.mark.slow
     def test_imag_behavior_with_text_target(self, setup, rng):
         agent, state = setup
         data = tiny_batch(rng, with_clip=True)
@@ -140,6 +141,7 @@ class TestGenRL:
         i1 = jax.tree_util.tree_leaves(state2.imag.actor_params)[0]
         assert not np.allclose(i0, i1)
 
+    @pytest.mark.slow
     def test_data_free_step(self, setup, rng):
         agent, state = setup
         prompt = np.float32(rng.normal(size=(32,)))
@@ -152,6 +154,7 @@ class TestGenRL:
         assert finite(metrics), metrics
         assert "imag_actor_loss" in metrics
 
+    @pytest.mark.slow
     def test_sharded_train_step(self, setup, rng):
         """The multi-device path: batch sharded over data axis, params replicated."""
         agent, state = setup
@@ -189,6 +192,7 @@ def test_make_agent_factory():
     assert isinstance(agent, GenRLAgent)
 
 
+@pytest.mark.slow
 def test_bf16_train_step(rng):
     """precision=16 (bf16 compute, f32 params) — the DEFAULT for every real
     TPU run (configs.py precision=16, agents/dreamer.py:41) yet otherwise

@@ -6,6 +6,7 @@ this test drives the same module at tiny scale on the CPU mesh so a refactor
 can never break the benchmark in a way only discovered on real hardware.
 """
 
+import pytest
 import importlib
 import json
 
@@ -23,6 +24,7 @@ TINY = (
 )
 
 
+@pytest.mark.slow
 def test_bench_main_smoke(monkeypatch, capsys):
     monkeypatch.setenv("BENCH_OVERRIDES", TINY)
     monkeypatch.setenv("BENCH_WARMUP_STEPS", "1")

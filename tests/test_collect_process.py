@@ -23,6 +23,7 @@ TINY = [
 ]
 
 
+@pytest.mark.slow
 def test_collect_data_plan2explore(tmp_path):
     import collect_data as cli
 
@@ -54,6 +55,7 @@ def test_collect_data_resumes_from_snapshot(tmp_path):
     assert ws.global_step == 60
 
 
+@pytest.mark.slow
 def test_collect_data_batched_envs(tmp_path):
     """num_collect_envs>1: N lockstep envs share one batched policy call per
     timestep; per-env episode accounting stays separate (replay env_id) and

@@ -110,6 +110,7 @@ def test_device_ring_ingest_and_sample():
     assert b2["action"].shape == (8, 4, 2)
 
 
+@pytest.mark.slow
 def test_train_step_on_scalar_reward_episode():
     """Regression: episodes collected from env wrappers carry SCALAR per-step
     rewards; _store_episode must normalize them to the reference (T, 1)

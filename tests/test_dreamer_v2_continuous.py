@@ -50,6 +50,7 @@ def batch(rng):
     return data
 
 
+@pytest.mark.slow
 def test_continuous_train_step(agent_state, rng):
     agent, state = agent_state
     step = jax.jit(agent.train_step)

@@ -93,6 +93,7 @@ def replay_dir(tmp_path_factory):
     return d
 
 
+@pytest.mark.slow
 def test_eval_and_report(tmp_path, replay_dir):
     emb = np.random.default_rng(1).normal(size=(32,)).astype(np.float32)
     p = tmp_path / "prompt.npy"

@@ -64,6 +64,7 @@ def test_eval_mode_sparse():
     assert obs["reward"] in (0.0, 1.0)
 
 
+@pytest.mark.slow
 def test_time_limit_wiring():
     env = make_env()
     ts, obs = env.reset()

@@ -54,6 +54,7 @@ def run(args, workdir, replay_dir, n=3, extra=()):
     train_cli.main(argv)
 
 
+@pytest.mark.slow
 def test_wm_connector_phase_and_resume(tmp_path, replay_dir):
     wd = tmp_path / "ws"
     run(["train_world_model=True", "train_connector=True"], wd, replay_dir, n=3)
@@ -66,6 +67,7 @@ def test_wm_connector_phase_and_resume(tmp_path, replay_dir):
     assert "model_loss" in content
 
 
+@pytest.mark.slow
 def test_behavior_phase_from_prompt_embed(tmp_path, replay_dir):
     wd = tmp_path / "ws2"
     emb = np.random.default_rng(1).normal(size=(32,)).astype(np.float32)
@@ -80,6 +82,7 @@ def test_behavior_phase_from_prompt_embed(tmp_path, replay_dir):
     assert "imag_actor_loss" in content
 
 
+@pytest.mark.slow
 def test_embed_whiten_phase(tmp_path, replay_dir):
     """embed_whiten=True: dataset clip_video and the prompt embed get one
     consistent mean-center+renorm (rewards/embed_stats.py), stats land next
@@ -131,6 +134,7 @@ def test_data_free_phase(tmp_path, replay_dir):
     assert "imag_actor_loss" in content
 
 
+@pytest.mark.slow
 def test_finetune_phase(tmp_path, replay_dir):
     """finetune=True (reference: GenRLAgent.finetune_mode, agent/genrl.py:
     55-59): WM pretrain -> finetune run loads the snapshot, trains the reward
@@ -187,6 +191,7 @@ def test_reward_registry_dispatch():
     assert REWARD_REGISTRY["env_reward"].prompt_embed(None, cfg, "x") is None
 
 
+@pytest.mark.slow
 def test_snapshot_search_dir(tmp_path, replay_dir):
     """Config-matching workdir search (the reference's wandb run search,
     train.py:72-133, re-homed onto config.json files)."""
@@ -209,6 +214,7 @@ def test_snapshot_search_dir(tmp_path, replay_dir):
     assert (wd_c / "stickman_walk" / "train.csv").exists()
 
 
+@pytest.mark.slow
 def test_zero1_phase_and_resume(tmp_path, replay_dir):
     """mesh.zero1 end-to-end: the WM+connector phase with ZeRO-1 sharded
     optimizer state (parallel/mesh.py:state_shardings), including the

@@ -14,6 +14,7 @@ and steady-state memory behave)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from genrl_tpu.agents.assembly import DreamerAgent
 from genrl_tpu.parallel import make_mesh, shard_batch, shard_state, state_shardings
@@ -62,6 +63,7 @@ def test_state_shardings_rule():
     assert n_sharded >= n_opt // 2, (n_sharded, n_opt)
 
 
+@pytest.mark.slow
 def test_zero1_matches_replicated_and_stays_sharded(rng):
     mesh = make_mesh(data=-1, model=1)
     cfg = tiny_cfg()
