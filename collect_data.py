@@ -114,6 +114,18 @@ class Workspace:
                 print(f"resuming collector: step={self.global_step} "
                       f"episode={self.global_episode} "
                       f"buffer_episodes={len(self.replay)}")
+        elif cfg.get("snapshot_load_dir"):
+            # warm start the WORLD MODEL from a foreign snapshot (e.g. a
+            # GenRL WM-pretrain run) while the acting behavior + optimizer
+            # start fresh and counters start at 0 — cuts the from-scratch
+            # WM-learning plateau of online collection. Requires matching
+            # model hyperparameters (e.g. conf/defaults=genrl here too).
+            from genrl_tpu.utils.checkpoint import load_wm_subtree
+
+            wm = load_wm_subtree(Path(cfg.snapshot_load_dir),
+                                 self.state.wm_params)
+            self.state = shard_params(self.state.replace(wm_params=wm),
+                                      self.mesh)
 
         self._jit_policy = jax.jit(self.agent.policy_step,
                                    static_argnames=("eval_mode",))

@@ -376,6 +376,44 @@ class GenRLAgent(DreamerAgent):
             stats = {k: jnp.broadcast_to(v, (v.shape[0], batch) + v.shape[2:]) for k, v in stats.items()}
         return jax.tree_util.tree_map(sg, stats)
 
+    def make_posterior_target(
+        self,
+        state: AgentState,
+        demo: Dict[str, jax.Array],
+        batch: int,
+        key: jax.Array,
+    ) -> Dict[str, jax.Array]:
+        """Behavior target from a DEMONSTRATION window instead of the
+        connector: encode the prompt video's own (observation, action) slice
+        through the world model's posterior and use those latents as the
+        target trajectory.
+
+        This is an environment-gated variant of video_video_reward's target
+        construction (reference: genrl_utils.py:372-409 builds the target via
+        IV2 embed -> connector.video_imagine). The connector route's target
+        fidelity is bounded by the CLIP checkpoint; with a random-init IV2
+        (no downloadable weights here) connector targets decode to the
+        dataset's dominant mode rather than the prompted behavior
+        (evidence/diag_alignment/target_decoded.png). Posterior encoding of
+        the same prompt video is exact by construction. Select with
+        agent.imag_reward_args.target_from=posterior + a .npz demo window
+        (scripts/make_video_prompt.py writes one beside the mp4).
+
+        Returns time-major [T_demo, batch, ...] posterior stats.
+        """
+        data = {
+            "observation": demo["observation"][None],  # [1, T, H, W, C]
+            "action": demo["action"][None],
+            "is_first": demo["is_first"][None],
+            "is_terminal": jnp.zeros(demo["is_first"].shape, jnp.bool_)[None],
+            "reward": jnp.zeros(demo["is_first"].shape + (1,), jnp.float32)[None],
+        }
+        outs, _ = self.wm.apply(state.wm_params, data, key, method="observe_data")
+        keep = ("stoch", "deter", "logit") if self.discrete else ("stoch", "deter", "mean", "std")
+        stats = {k: swap_bt(v) for k, v in outs["post"].items() if k in keep}  # [T, 1, ...]
+        stats = {k: jnp.broadcast_to(v, (v.shape[0], batch) + v.shape[2:]) for k, v in stats.items()}
+        return jax.tree_util.tree_map(sg, stats)
+
     # ---- imag behavior --------------------------------------------------------------------
     def _imag_reward_fn(self, state: AgentState, target_seq: Dict[str, jax.Array]):
         args = dict(self.agent_cfg.imag_reward_args)
@@ -397,6 +435,8 @@ class GenRLAgent(DreamerAgent):
             align_sequence=bool(args.get("align_sequence", True)),
             weighted_align=bool(args.get("weighted_align", False)),
             weighted_align_compat=bool(args.get("weighted_align_compat", False)),
+            score_clip=(None if args.get("score_clip") is None
+                        else float(args["score_clip"])),
         )
 
     def update_imag_behavior(self, state: AgentState, post, is_terminal, target_seq, key):

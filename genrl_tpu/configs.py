@@ -132,6 +132,15 @@ _AGENT_GENRL = dict(
         imag_reward_fn=None,
         imag_reward_norm=dict(momentum=1.00, scale=1.0, eps=1e-8),
         imag_reward_args=dict(score_fn="max_cosine", sample_for_target=False,
+                              # 'connector' (reference route: embed ->
+                              # video_imagine) or 'posterior' (demo window
+                              # encoded through the WM posterior; see
+                              # GenRLAgent.make_posterior_target)
+                              target_from="connector",
+                              # saturating ceiling on the alignment reward
+                              # (anti reward-hacking; see
+                              # rewards/plugins.py:make_aligned_reward_fn)
+                              score_clip=None,
                               align_initial=False, weighted_align=False,
                               # reference batch-axis cumprod for parity
                               # audits (genrl_utils.py:330-333) — see
@@ -234,6 +243,9 @@ TRAIN_BASE = dict(
     seed_snapshot=None,
     agent_name_snapshot=None,
     snapshot_load_dir=None,
+    # with snapshot_load_dir: graft ONLY wm_params from the (possibly
+    # foreign-agent) donor snapshot; everything else starts fresh
+    load_wm_only=False,
     # config-matching workdir search (replaces the reference's wandb run
     # search, train.py:72-133, for zero-egress deployments)
     snapshot_search_dir=None,
@@ -245,6 +257,9 @@ TRAIN_BASE = dict(
     imag_warmup_steps=5,
     task_prompt=None,
     task_video=None,
+    # explicit demo-window .npz for target_from=posterior (defaults to the
+    # .npz sibling of task_video that scripts/make_video_prompt.py writes)
+    demo_npz=None,
     prompt_embed_path=None,
     models_root="models",
     torch_snapshot_path=None,   # convert-on-load of reference .pt snapshots
@@ -276,6 +291,9 @@ COLLECT_BASE = dict(
     # N lockstep collection envs sharing one batched policy call per step
     # (1 = the reference's sequential collector)
     num_collect_envs=1,
+    # foreign-snapshot WM warm start (params only, counters stay 0); the
+    # donor must share model hyperparameters — see checkpoint.load_wm_subtree
+    snapshot_load_dir=None,
     experiment="collect",
     project_name="genrl",
     log_every_frames=1_000,

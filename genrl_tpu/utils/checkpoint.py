@@ -212,3 +212,44 @@ def apply_resets(agent, loaded_state, key, reset_world_model=False,
     if reset_imag_behavior and fresh.imag is not None:
         state = state.replace(imag=fresh.imag)
     return state
+
+
+def load_wm_subtree(load_dir, live_wm_params):
+    """Cross-agent warm start: pull ONLY `wm_params` out of a foreign
+    snapshot (any agent whose WorldModel was built with the same model
+    hyperparameters) and fit it to `live_wm_params`' structure.
+
+    Restores the orbax checkpoint WITHOUT a template (raw nested dicts),
+    so the donor agent's full AgentState need not match the live agent —
+    e.g. a GenRL pretrain snapshot warm-starts a Dreamer collector, or a
+    Dreamer collector's online-trained WM seeds a GenRL behavior run.
+    Shapes are validated leaf-by-leaf; a mismatch (different preset dims)
+    raises instead of silently grafting garbage.
+    """
+    root = Path(load_dir)
+    candidates = [root] if (root / "ckpt").exists() else [
+        root / "last_snapshot", root / "second_last_snapshot"]
+    raw = None
+    for cand in candidates:
+        if (cand / "ckpt").exists():
+            raw = ocp.StandardCheckpointer().restore((cand / "ckpt").absolute())
+            break
+    if raw is None:
+        raise FileNotFoundError(f"no snapshot under {load_dir}")
+    donor = raw["state"]["wm_params"]
+    d_leaves, d_def = jax.tree_util.tree_flatten(donor)
+    l_leaves, l_def = jax.tree_util.tree_flatten(live_wm_params)
+    if len(d_leaves) != len(l_leaves):
+        raise ValueError(
+            f"wm_params leaf count mismatch: donor {len(d_leaves)} vs live "
+            f"{len(l_leaves)} — model hyperparameters differ")
+    for i, (d, l) in enumerate(zip(d_leaves, l_leaves)):
+        if tuple(np.shape(d)) != tuple(np.shape(l)):
+            raise ValueError(
+                f"wm_params leaf {i} shape mismatch: donor {np.shape(d)} vs "
+                f"live {np.shape(l)} — model hyperparameters differ")
+    step = int(raw.get("counters", {}).get("step", -1))
+    print(f"warm-started wm_params from {load_dir} (donor step {step}, "
+          f"{sum(int(np.size(x)) for x in d_leaves):,} params)")
+    return jax.tree_util.tree_unflatten(
+        l_def, [np.asarray(d, dtype=l.dtype) for d, l in zip(d_leaves, l_leaves)])

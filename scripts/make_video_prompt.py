@@ -54,8 +54,22 @@ def main():
 
     out.parent.mkdir(parents=True, exist_ok=True)
     save_video(obs.astype(np.float32) / 255.0, str(out))
-    print(f"video prompt: {out} from {f.name}[{start}:{start + window}] "
-          f"(window reward {score:.1f})")
+    # also write the raw demo window (obs HWC + actions) so the posterior
+    # target path (agent.imag_reward_args.target_from=posterior) can encode
+    # the exact demonstration through the world model
+    sl = slice(start, start + window)
+    is_first = np.zeros(window, bool)
+    is_first[0] = True  # fresh RSSM state at the window head (posterior
+    # re-locks onto the images within a few steps even mid-episode)
+    np.savez_compressed(
+        out.with_suffix(".npz"),
+        observation=obs,  # [T, H, W, C] u8
+        action=np.asarray(ep["action"][sl], np.float32),
+        is_first=is_first,
+        reward=np.asarray(ep["reward"][sl], np.float32),
+    )
+    print(f"video prompt: {out} (+ .npz demo window) from "
+          f"{f.name}[{start}:{start + window}] (window reward {score:.1f})")
 
 
 if __name__ == "__main__":

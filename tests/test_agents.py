@@ -141,6 +141,31 @@ class TestGenRL:
         i1 = jax.tree_util.tree_leaves(state2.imag.actor_params)[0]
         assert not np.allclose(i0, i1)
 
+    def test_imag_behavior_with_posterior_target(self, setup, rng):
+        """target_from=posterior: a demonstration window encoded through the
+        WM posterior is a valid behavior target (environment-gated variant of
+        video_video_reward's connector target — see make_posterior_target)."""
+        agent, state = setup
+        hor = int(agent.agent_cfg.imag_horizon)
+        demo = {
+            "observation": jnp.asarray(
+                rng.integers(0, 255, (hor + 1, IMG, IMG, 3), np.uint8)),
+            "action": jnp.asarray(rng.normal(size=(hor + 1, ACT)), jnp.float32),
+            "is_first": jnp.zeros(hor + 1, bool).at[0].set(True),
+        }
+        target = agent.make_posterior_target(
+            state, demo, batch=B * T, key=jax.random.PRNGKey(5))
+        assert target["deter"].shape[:2] == (hor + 1, B * T)
+        # broadcast across columns: every batch column sees the same demo
+        assert np.allclose(target["deter"][:, 0], target["deter"][:, -1])
+        data = tiny_batch(rng, with_clip=True)
+        step = jax.jit(lambda s, d, t, k: agent.train_step(s, d, k, t, False, False))
+        state2, metrics = step(state, data, target, jax.random.PRNGKey(6))
+        assert finite(metrics), {k: v for k, v in metrics.items() if not finite(v)}
+        i0 = jax.tree_util.tree_leaves(state.imag.actor_params)[0]
+        i1 = jax.tree_util.tree_leaves(state2.imag.actor_params)[0]
+        assert not np.allclose(i0, i1)
+
     @pytest.mark.slow
     def test_data_free_step(self, setup, rng):
         agent, state = setup

@@ -147,3 +147,29 @@ def test_weighted_align_time_axis_vs_reference_compat():
     np.testing.assert_allclose(ours_compat, plain, atol=1e-6)
     # while the time-axis default genuinely changes the chosen alignment
     assert np.abs(ours_time - plain).max() > 1e-3
+
+
+def test_score_clip_saturates_reward():
+    """score_clip: the anti-hacking ceiling saturates the closure's output
+    without touching values below the cap (plugins.make_aligned_reward_fn)."""
+    from genrl_tpu.rewards.plugins import make_aligned_reward_fn
+
+    T, B, S = 6, 3, 4
+    rng = np.random.default_rng(0)
+    target = {"stoch": rng.normal(size=(T, B, S)).astype(np.float32)}
+    target["deter"] = target["stoch"]
+    seq = {"stoch": target["stoch"] * 1.0, "deter": target["deter"]}
+    identity = lambda x: x
+    flat = lambda s: s["stoch"]
+    kw = dict(score_fn="cosine", n_frames=2, conv_in_fn=identity,
+              get_stoch_agent=flat, get_stoch_target=flat,
+              align_initial=False, align_sequence=False)
+    plain = np.asarray(make_aligned_reward_fn(target, **kw)(seq))
+    assert plain.max() > 0.9  # identical seq -> cosine 1
+    capped = np.asarray(make_aligned_reward_fn(target, score_clip=0.5, **kw)(seq))
+    assert capped.max() <= 0.5 + 1e-6
+    # below the cap the reward is untouched
+    low = {k: np.asarray(rng.normal(size=v.shape), np.float32) for k, v in seq.items()}
+    a = np.asarray(make_aligned_reward_fn(target, **kw)(low))
+    b = np.asarray(make_aligned_reward_fn(target, score_clip=0.5, **kw)(low))
+    np.testing.assert_allclose(np.minimum(a, 0.5), b, atol=1e-6)

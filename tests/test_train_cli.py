@@ -83,6 +83,34 @@ def test_behavior_phase_from_prompt_embed(tmp_path, replay_dir):
 
 
 @pytest.mark.slow
+def test_behavior_phase_posterior_target(tmp_path, replay_dir):
+    """target_from=posterior: the demo-window npz (make_video_prompt grammar)
+    drives the behavior target through the WM posterior instead of the
+    connector (GenRLAgent.make_posterior_target)."""
+    wd = tmp_path / "wsp"
+    rng = np.random.default_rng(2)
+    T = 24
+    np.savez_compressed(
+        tmp_path / "demo.npz",
+        observation=rng.integers(0, 255, (T, 16, 16, 3), np.uint8),
+        action=rng.normal(size=(T, 4)).astype(np.float32),
+        is_first=np.eye(1, T, dtype=bool)[0],
+        reward=rng.normal(size=(T, 1)).astype(np.float32),
+    )
+    run(
+        ["agent.imag_reward_fn=video_video_reward",
+         "agent.imag_reward_args.target_from=posterior",
+         "agent.imag_reward_args.align_initial=True",
+         "agent.imag_reward_args.align_sequence=False",
+         "agent.imag_reward_args.score_clip=0.5",
+         f"demo_npz={tmp_path / 'demo.npz'}"],
+        wd, replay_dir, n=2,
+    )
+    content = (wd / "stickman_walk" / "train.csv").read_text()
+    assert "imag_actor_loss" in content
+
+
+@pytest.mark.slow
 def test_embed_whiten_phase(tmp_path, replay_dir):
     """embed_whiten=True: dataset clip_video and the prompt embed get one
     consistent mean-center+renorm (rewards/embed_stats.py), stats land next

@@ -219,6 +219,14 @@ class Workspace:
                 reset_imag_behavior=cfg.get("reset_imag_behavior", False),
             )
             print(f"loaded snapshot via config search: {found}")
+        elif cfg.get("snapshot_load_dir") and cfg.get("load_wm_only"):
+            # cross-agent graft: take ONLY wm_params from the donor snapshot
+            # (e.g. a Dreamer collector whose WM trained online) into this
+            # agent's fresh state — connector/behaviors/optimizers start fresh
+            from genrl_tpu.utils.checkpoint import load_wm_subtree
+
+            wm = load_wm_subtree(Path(cfg.snapshot_load_dir), template.wm_params)
+            state = template.replace(wm_params=wm)
         elif cfg.get("snapshot_load_dir"):
             from genrl_tpu.utils.checkpoint import SnapshotManager as SM
 
@@ -307,6 +315,36 @@ class Workspace:
 
             emb = whiten(np.asarray(emb).reshape(-1), self._embed_mean)
         return emb
+
+    def _demo_window(self):
+        """Load the demo window npz for target_from=posterior: the .npz
+        sibling of task_video (written by scripts/make_video_prompt.py),
+        or an explicit demo_npz path. Slices to imag_horizon+1 steps around
+        the window's best-reward start so the target length matches the
+        connector route's."""
+        import jax.numpy as jnp
+
+        cfg = self.cfg
+        path = cfg.get("demo_npz") or str(
+            Path(cfg.get("task_video", "")).with_suffix(".npz"))
+        with np.load(path) as d:
+            demo = {k: np.asarray(d[k]) for k in ("observation", "action", "is_first")}
+            reward = np.asarray(d["reward"]).reshape(-1) if "reward" in d else None
+        obs = demo["observation"]
+        if obs.shape[1] in (1, 3) and obs.shape[-1] not in (1, 3):
+            demo["observation"] = obs.transpose(0, 2, 3, 1)  # CHW -> HWC
+        T = int(self.cfg.agent.imag_horizon) + 1
+        n = demo["is_first"].shape[0]
+        if n > T:
+            if reward is not None and reward.shape[0] == n:
+                csum = np.concatenate([[0.0], np.cumsum(reward)])
+                start = int(np.argmax(csum[T:] - csum[:-T]))
+            else:
+                start = 0
+            demo = {k: v[start:start + T] for k, v in demo.items()}
+            demo["is_first"] = demo["is_first"].copy()
+            demo["is_first"][0] = True
+        return {k: jnp.asarray(v) for k, v in demo.items()}
 
     # ---- eval --------------------------------------------------------------------------
     def _eval_pool(self):
@@ -397,13 +435,21 @@ class Workspace:
             spec = resolve_reward(cfg.agent.imag_reward_fn)
             if spec.needs_target:
                 B = int(cfg.batch_size) * int(cfg.batch_length)
-                embed = self._prompt_embed()
                 args = dict(cfg.agent.imag_reward_args)
-                target = self.agent.make_unconditional_target(
-                    self.state, jax.numpy.asarray(embed), batch=B, key=self._next_key(),
-                    sample_for_target=bool(args.get("sample_for_target", False)),
-                    skip_first_target=bool(args.get("skip_first_target", True)),
-                )
+                if args.get("target_from", "connector") == "posterior":
+                    # demonstration-window target: encode the prompt video's
+                    # own (obs, action) slice through the WM posterior instead
+                    # of the connector (see make_posterior_target docstring;
+                    # requires the .npz make_video_prompt.py writes)
+                    target = self.agent.make_posterior_target(
+                        self.state, self._demo_window(), batch=B, key=self._next_key())
+                else:
+                    embed = self._prompt_embed()
+                    target = self.agent.make_unconditional_target(
+                        self.state, jax.numpy.asarray(embed), batch=B, key=self._next_key(),
+                        sample_for_target=bool(args.get("sample_for_target", False)),
+                        skip_first_target=bool(args.get("skip_first_target", True)),
+                    )
             else:
                 # imag_reward_fn=env_reward: imag behavior trained on the
                 # reward head, no prompt target (reference resolves the same
