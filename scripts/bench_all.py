@@ -69,6 +69,24 @@ def flops_of(compiled) -> float | None:
         return None
 
 
+# XLA's cost analysis counts a lax.scan body ONCE, not trip-count times
+# (verified: flops(scan(body, K=10)) == 1.000002 x flops(body)). A
+# fused_chunk program is scan(body, CHUNK-1) + one unrolled final step, so
+# its reported flops ~= 2 x one grad step (the prologue window gather is
+# flop-free; the final step's extra metric reductions are noise). Dividing
+# by CHUNK (as rounds 2-4a did) understates flops/step and MFU by CHUNK/2.
+CHUNK_FLOPS_STEPS = 2.0
+FLOPS_CAVEAT = ("flops from compiled-HLO cost analysis; lax.scan bodies "
+                "INSIDE one grad step (RSSM over L, imagination over "
+                "horizon) are also counted once, so flops/step and MFU "
+                "are LOWER BOUNDS")
+
+
+def chunk_step_flops(f_chunk: float | None) -> float | None:
+    """Per-grad-step flops of a fused_chunk executable (see note above)."""
+    return (f_chunk / CHUNK_FLOPS_STEPS) if f_chunk else None
+
+
 def timed(fn_compiled, args_fn, state, n=MEASURE):
     """Run warmup + n steps; state-threading via args_fn(state, i)."""
     for i in range(WARMUP):
@@ -108,6 +126,7 @@ def main():
     results["_meta"] = {
         "device": str(dev), "device_kind": getattr(dev, "device_kind", "?"),
         "peak_tflops": peak / 1e12,
+        "flops_accounting": FLOPS_CAVEAT,
         "generated_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
 
@@ -159,9 +178,10 @@ def main():
         f1 = flops_of(step1)
         n1, _ = timed(step1, args1, state0)
         sps1 = n1 * CHUNK
+        fs1 = chunk_step_flops(f1)
         emit("1_wm_training", steps_per_sec=sps1,
-             flops_per_step=(f1 / CHUNK) if f1 else None,
-             mfu=(n1 * f1 / peak) if f1 else None,
+             flops_per_step=fs1,
+             mfu=(sps1 * fs1 / peak) if fs1 else None,
              note=f"batch 16x16, stickman fixture, bf16, {CHUNK}-step dispatch")
 
     # ---- config 3: WM + connector ---------------------------------------------------
@@ -171,9 +191,10 @@ def main():
         f3 = flops_of(step3)
         n3, _ = timed(step3, args3, state0)
         sps3 = n3 * CHUNK
+        fs3 = chunk_step_flops(f3)
         emit("3_wm_connector_training", steps_per_sec=sps3,
-             flops_per_step=(f3 / CHUNK) if f3 else None,
-             mfu=(n3 * f3 / peak) if f3 else None,
+             flops_per_step=fs3,
+             mfu=(sps3 * fs3 / peak) if fs3 else None,
              note="batch 16x16, stickman fixture, bf16, "
                   f"{CHUNK}-step dispatch (the bench.py config)")
 
@@ -186,9 +207,10 @@ def main():
         f3b = flops_of(step3b)
         n3b, _ = timed(step3b, args3b, state0, n=3)
         sps3b = n3b * CHUNK
+        fs3b = chunk_step_flops(f3b)
         emit("3b_wm_connector_48x48", steps_per_sec=sps3b,
-             flops_per_step=(f3b / CHUNK) if f3b else None,
-             mfu=(n3b * f3b / peak) if f3b else None,
+             flops_per_step=fs3b,
+             mfu=(sps3b * fs3b / peak) if fs3b else None,
              note="batch 48x48 (reference pretrain scale), stickman fixture, "
                   f"bf16, {CHUNK}-step dispatch")
 
@@ -208,10 +230,11 @@ def main():
         f4 = flops_of(step4)
         n4, _ = timed(step4, args4, state0)
         sps4 = n4 * CHUNK
+        fs4 = chunk_step_flops(f4)
         emit("4_behavior_language", steps_per_sec=sps4,
              imagined_latent_frames_per_sec=sps4 * BEH_BATCH * BEH_LENGTH * hor,
-             flops_per_step=(f4 / CHUNK) if f4 else None,
-             mfu=(n4 * f4 / peak) if f4 else None,
+             flops_per_step=fs4,
+             mfu=(sps4 * fs4 / peak) if fs4 else None,
              note=f"batch {BEH_BATCH}x{BEH_LENGTH}, horizon {hor}, "
                   "video_text_reward align_sequence, data observe + imag "
                   f"behavior, {CHUNK}-step dispatch")
