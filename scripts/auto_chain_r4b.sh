@@ -32,9 +32,9 @@ echo "chain start $(date -u +%H:%M:%S)" > $ST
 python scripts/make_video_prompt.py $BUF $EV/prompt_r4b.mp4 64
 echo "prompt rc=$? at $(date -u +%H:%M:%S)" >> $ST
 
-# B. dataset selection + embedding (~32 eps x ~493 windows / 16 clips/s ~ 17 min)
-python scripts/select_episodes.py $BUF $EV/dataset_r4b 32 22
-timeout ${EMB_T:-2400} python -u process_dataset.py dataset_dir=$EV/dataset_r4b \
+# B. dataset selection + embedding (~48 eps x ~493 windows / 16 clips/s ~ 25 min)
+python scripts/select_episodes.py $BUF $EV/dataset_r4b 48 32
+timeout ${EMB_T:-3000} python -u process_dataset.py dataset_dir=$EV/dataset_r4b \
     > runs/embed_r4b.log 2>&1
 echo "embed rc=$? at $(date -u +%H:%M:%S) files=$(ls $EV/dataset_r4b | wc -l)" >> $ST
 
