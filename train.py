@@ -333,7 +333,7 @@ class Workspace:
         obs = demo["observation"]
         if obs.shape[1] in (1, 3) and obs.shape[-1] not in (1, 3):
             demo["observation"] = obs.transpose(0, 2, 3, 1)  # CHW -> HWC
-        T = int(self.cfg.agent.imag_horizon) + 1
+        T = int(self.cfg.imag_horizon) + 1  # imag_horizon is a root key (configs.py presets)
         n = demo["is_first"].shape[0]
         if n > T:
             if reward is not None and reward.shape[0] == n:
