@@ -80,19 +80,31 @@ def main():
     state, counters = SnapshotManager(workdir / "snapshots").load(template)
     print(f"loaded behavior snapshot at step {counters.get('step')}", flush=True)
 
-    # ---- target (identical construction to train.py:394-406) ---------------
-    spec = resolve_reward(cfg.agent.imag_reward_fn)
-    from genrl_tpu.models.internvideo2 import get_global_instance
-    clip = get_global_instance(cfg.get("viclip_model", "internvideo2"),
-                               models_root=cfg.get("models_root", "models"))
-    emb = spec.prompt_embed(clip, cfg, task)
-    emb = es.whiten(np.asarray(emb).reshape(-1), mean)
+    # ---- target (identical construction to train.py's behavior phase) ------
     args = dict(cfg.agent.imag_reward_args)
     key = jax.random.PRNGKey(int(cfg.seed) + 99)
-    target = agent.make_unconditional_target(
-        state, jnp.asarray(emb), batch=B * L, key=key,
-        sample_for_target=bool(args.get("sample_for_target", False)),
-        skip_first_target=bool(args.get("skip_first_target", True)))
+    if args.get("target_from", "connector") == "posterior":
+        # demonstration route: the SAME demo window + WM posterior encoding
+        # the policy trained against (GenRLAgent.make_posterior_target)
+        from genrl_tpu.utils.demo import load_demo_window
+
+        path = cfg.get("demo_npz") or str(
+            Path(cfg.get("task_video", "")).with_suffix(".npz"))
+        demo = load_demo_window(path, int(cfg.imag_horizon) + 1)
+        target = agent.make_posterior_target(
+            state, {k2: jnp.asarray(v) for k2, v in demo.items()},
+            batch=B * L, key=key)
+    else:
+        spec = resolve_reward(cfg.agent.imag_reward_fn)
+        from genrl_tpu.models.internvideo2 import get_global_instance
+        clip = get_global_instance(cfg.get("viclip_model", "internvideo2"),
+                                   models_root=cfg.get("models_root", "models"))
+        emb = spec.prompt_embed(clip, cfg, task)
+        emb = es.whiten(np.asarray(emb).reshape(-1), mean)
+        target = agent.make_unconditional_target(
+            state, jnp.asarray(emb), batch=B * L, key=key,
+            sample_for_target=bool(args.get("sample_for_target", False)),
+            skip_first_target=bool(args.get("skip_first_target", True)))
     reward_fn = agent._imag_reward_fn(state, target)
     hor = int(agent.agent_cfg.imag_horizon)
 

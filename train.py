@@ -324,26 +324,13 @@ class Workspace:
         connector route's."""
         import jax.numpy as jnp
 
+        from genrl_tpu.utils.demo import load_demo_window
+
         cfg = self.cfg
         path = cfg.get("demo_npz") or str(
             Path(cfg.get("task_video", "")).with_suffix(".npz"))
-        with np.load(path) as d:
-            demo = {k: np.asarray(d[k]) for k in ("observation", "action", "is_first")}
-            reward = np.asarray(d["reward"]).reshape(-1) if "reward" in d else None
-        obs = demo["observation"]
-        if obs.shape[1] in (1, 3) and obs.shape[-1] not in (1, 3):
-            demo["observation"] = obs.transpose(0, 2, 3, 1)  # CHW -> HWC
-        T = int(self.cfg.imag_horizon) + 1  # imag_horizon is a root key (configs.py presets)
-        n = demo["is_first"].shape[0]
-        if n > T:
-            if reward is not None and reward.shape[0] == n:
-                csum = np.concatenate([[0.0], np.cumsum(reward)])
-                start = int(np.argmax(csum[T:] - csum[:-T]))
-            else:
-                start = 0
-            demo = {k: v[start:start + T] for k, v in demo.items()}
-            demo["is_first"] = demo["is_first"].copy()
-            demo["is_first"][0] = True
+        # imag_horizon is a root config key (configs.py presets)
+        demo = load_demo_window(path, int(cfg.imag_horizon) + 1)
         return {k: jnp.asarray(v) for k, v in demo.items()}
 
     # ---- eval --------------------------------------------------------------------------
