@@ -173,3 +173,64 @@ def test_score_clip_saturates_reward():
     a = np.asarray(make_aligned_reward_fn(target, **kw)(low))
     b = np.asarray(make_aligned_reward_fn(target, score_clip=0.5, **kw)(low))
     np.testing.assert_allclose(np.minimum(a, 0.5), b, atol=1e-6)
+
+
+def test_delta_cosine_scores_motion_not_pose():
+    """delta_cosine (r4 transfer-gap fix): a static latent sequence earns ~0
+    reward no matter how close its *pose* is to the demo, while replaying the
+    demo's motion scores ~1 even under a constant feature offset."""
+    from genrl_tpu.rewards.plugins import compute_reward
+
+    T, B, S = 8, 2, 6
+    rng = np.random.default_rng(3)
+    demo = np.cumsum(rng.normal(size=(T, B, S)), axis=0).astype(np.float32)
+    identity = lambda x: x
+    flat = lambda s: s["stoch"]
+    kw = dict(conv_in_fn=identity, get_stoch_agent=flat, get_stoch_target=flat)
+    target = {"stoch": demo}
+
+    # static agent frozen at the demo's FIRST pose: plain cosine rewards it,
+    # delta gives ~0
+    static = {"stoch": np.broadcast_to(demo[:1], demo.shape).copy()}
+    plain = np.asarray(compute_reward(static, target, "cosine", **kw))
+    delta = np.asarray(compute_reward(static, target, "delta_cosine", **kw))
+    assert plain[0].min() > 0.99  # pose match at t=0
+    assert np.abs(delta).max() < 1e-3
+
+    # the demo's own motion with a constant offset: delta ~1 everywhere
+    offset = {"stoch": demo + 5.0}
+    d2 = np.asarray(compute_reward(offset, target, "delta_cosine", **kw))
+    assert d2.min() > 0.999
+
+
+def test_delta_cosine_align_initial_searches_with_base_score():
+    """With align_initial, the search pass compares against a frozen target
+    (zero delta) — aligned_similarity_reward must rank starts with the BASE
+    cosine and apply the delta score only to the final shifted target."""
+    from genrl_tpu.rewards.plugins import compute_reward
+
+    T, B, S = 10, 2, 5
+    rng = np.random.default_rng(7)
+    demo = np.cumsum(rng.normal(size=(T, B, S)), axis=0).astype(np.float32)
+    # agent replays the demo starting at step 3; before that it is frozen at
+    # a DISTINCT pose (-demo[0], cosine -1 to the demo start) so the base-
+    # cosine search has a unique best start at t=shift
+    shift = 3
+    agent_st = np.concatenate(
+        [np.broadcast_to(-demo[:1], (shift, B, S)), demo[: T - shift]], axis=0
+    ).astype(np.float32)
+    agent = {"stoch": agent_st, "deter": agent_st}
+    target = {"stoch": demo, "deter": demo}
+    identity = lambda x: x
+    flat = lambda s: s["stoch"]
+    kw = dict(n_frames=3, conv_in_fn=identity, get_stoch_agent=flat,
+              get_stoch_target=flat, align_sequence=False)
+    out = np.asarray(aligned_similarity_reward(
+        agent, target, "delta_cosine", align_initial=True, **kw))
+    assert out.shape == (T, B, 1)
+    # search found start=shift -> the replayed segment's motion matches ~1
+    assert out[shift:, :, 0].min() > 0.99
+    # before the start both deltas are zero (frozen agent vs frozen target):
+    # the score must not reward standing still with a positive match
+    # (cosine of ~0 vectors -> ~0 under the eps guard)
+    assert np.abs(out[: shift - 1]).max() < 1e-3
