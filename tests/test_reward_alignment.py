@@ -234,3 +234,97 @@ def test_delta_cosine_align_initial_searches_with_base_score():
     # the score must not reward standing still with a positive match
     # (cosine of ~0 vectors -> ~0 under the eps guard)
     assert np.abs(out[: shift - 1]).max() < 1e-3
+
+
+def test_delta_reward_grads_finite_on_frozen_agent_segment():
+    """ADVICE r4 (medium): the delta score path must produce FINITE gradients
+    when the agent sequence contains exactly-repeated latents (zero delta) —
+    jnp.linalg.norm's VJP at 0 is NaN and one occurrence would permanently
+    poison the actor params through behavior_update's dynamics backprop."""
+    import jax
+    import jax.numpy as jnp
+
+    from genrl_tpu.rewards.plugins import make_aligned_reward_fn
+
+    T, B, S = 8, 2, 5
+    rng = np.random.default_rng(11)
+    demo = np.cumsum(rng.normal(size=(T, B, S)), axis=0).astype(np.float32)
+    target = {"stoch": demo, "deter": demo}
+    identity = lambda x: x
+    flat = lambda s: s["stoch"]
+
+    # agent frozen for the whole horizon (a near-static policy: every delta
+    # exactly zero) AND one interior repeated pair in a second variant
+    frozen = np.broadcast_to(demo[:1], (T, B, S)).copy().astype(np.float32)
+    repeated = demo.copy()
+    repeated[4] = repeated[3]  # one exactly-repeated latent pair
+
+    for score_fn in ("delta_cosine", "delta_max_cosine"):
+        for variant in (dict(align_initial=True, align_sequence=False),
+                        dict(align_initial=False, align_sequence=True),
+                        dict(align_initial=False, align_sequence=False)):
+            fn = make_aligned_reward_fn(
+                target, score_fn=score_fn, n_frames=3, conv_in_fn=identity,
+                get_stoch_agent=flat, get_stoch_target=flat, **variant)
+            for agent_st in (frozen, repeated):
+                def loss(x):
+                    return jnp.sum(fn({"stoch": x, "deter": x}))
+                val, g = jax.value_and_grad(loss)(jnp.asarray(agent_st))
+                assert np.isfinite(float(val)), (score_fn, variant)
+                assert np.all(np.isfinite(np.asarray(g))), (score_fn, variant)
+
+    # the non-delta primitives too: neg_mse at u == v has the same 0/0 VJP
+    from genrl_tpu.rewards.plugins import (cosine_similarity,
+                                           max_cosine_similarity, neg_mse)
+    z = jnp.zeros((3, 4))
+    for prim in (cosine_similarity, max_cosine_similarity, neg_mse):
+        g = jax.grad(lambda u: jnp.sum(prim(u, z)))(z)
+        assert np.all(np.isfinite(np.asarray(g))), prim.__name__
+
+
+def test_temporal_delta_requires_two_steps():
+    """ADVICE r4 (low): T=1 sequences must fail loudly, not produce an
+    invalid empty-diff slice."""
+    from genrl_tpu.rewards.plugins import _temporal_delta, compute_reward
+
+    with pytest.raises(ValueError, match="T >= 2"):
+        _temporal_delta(np.zeros((1, 2, 3), np.float32), axis=0)
+
+    identity = lambda x: x
+    flat = lambda s: s["stoch"]
+    one = {"stoch": np.zeros((1, 2, 3), np.float32)}
+    with pytest.raises(ValueError, match="T >= 2"):
+        compute_reward(one, one, "delta_cosine", identity, flat, flat)
+
+
+def test_align_sequence_delta_search_prefers_motion_match():
+    """ADVICE r4 (low): align_sequence's window search applies delta score
+    fns along the WITHIN-window time axis, so it locks onto the window whose
+    *motion* matches the demo head — not a static pose match that a base-
+    cosine search would pick."""
+    T, B, S, n = 12, 1, 6, 3
+    rng = np.random.default_rng(5)
+    demo = np.cumsum(rng.normal(size=(T, B, S)), axis=0).astype(np.float32)
+    target = {"stoch": demo, "deter": demo}
+
+    # agent: steps 0..n+1 hold a pose nearly identical to demo[0] (strong
+    # POSE match, zero motion); steps 6.. replay the demo's motion from a
+    # constant offset (weak pose match, perfect motion match)
+    agent_st = np.empty((T, B, S), np.float32)
+    agent_st[:6] = demo[0] + 0.01 * rng.normal(size=(6, B, S))
+    agent_st[6:] = demo[: T - 6] + 50.0
+    agent = {"stoch": agent_st, "deter": agent_st}
+    identity = lambda x: x
+    flat = lambda s: s["stoch"]
+    kw = dict(n_frames=n, conv_in_fn=identity, get_stoch_agent=flat,
+              get_stoch_target=flat, align_sequence=True)
+
+    out = np.asarray(aligned_similarity_reward(
+        agent, target, "delta_cosine", **kw))[:, 0, 0]
+    # the motion-aware search must align the target to start at t=6: the
+    # replayed segment then scores ~1 on delta cosine
+    assert out[7:].min() > 0.9, out
+    # a pose-locked alignment (start at 0) would give ~0 there instead
+    base = np.asarray(aligned_similarity_reward(
+        agent, target, "cosine", **kw))[:, 0, 0]
+    del base  # base path still runs (sanity that both searches compile)
