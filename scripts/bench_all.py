@@ -305,7 +305,7 @@ def bench_iv2(emit, peak):
 
     from genrl_tpu.models.clip_wrapper import ViCLIP
 
-    clip = ViCLIP(models_root="/nonexistent", use_flash=True)
+    clip = ViCLIP(models_root="/nonexistent", use_flash=True, random_ok=True)
     frames = np.random.default_rng(0).integers(
         0, 255, (8, 8, 64, 64, 3), np.uint8)  # 8 clips x 8 frames (fixture res)
     x = clip.preprocess_transf(frames)
