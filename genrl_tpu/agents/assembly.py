@@ -418,9 +418,26 @@ class GenRLAgent(DreamerAgent):
     def _imag_reward_fn(self, state: AgentState, target_seq: Dict[str, jax.Array]):
         args = dict(self.agent_cfg.imag_reward_args)
         conv_in = lambda x: self.wm.apply(state.wm_params, x, method="conv_in_features")
-        flatten_stoch = lambda s: (
-            s["stoch"].reshape(s["stoch"].shape[:-2] + (-1,)) if self.discrete else s["stoch"]
-        )
+        if args.get("score_from", "sample") == "mean":
+            # score the EXPECTED stoch (softmax probs / gaussian mean) rather
+            # than the per-step sample: imagined latents are resampled every
+            # step, so sampled-feature temporal deltas are mostly categorical
+            # sampling noise — measured on the toy treadmill world, delta
+            # score fns fail to rank motion through that noise
+            # (tests/test_env_return_transfer.py SWEEP). Expectation removes
+            # the noise from the REWARD while dynamics stay sampled. Extra
+            # knob vs the reference (which scores sampled latents,
+            # tools/genrl_utils.py:344-366).
+            if self.discrete:
+                flatten_stoch = lambda s: jax.nn.softmax(
+                    s["logit"].astype(jnp.float32)
+                ).reshape(s["logit"].shape[:-2] + (-1,))
+            else:
+                flatten_stoch = lambda s: s["mean"]
+        else:
+            flatten_stoch = lambda s: (
+                s["stoch"].reshape(s["stoch"].shape[:-2] + (-1,)) if self.discrete else s["stoch"]
+            )
         get_dist = lambda s: dist_from_stats(s, self.discrete)
         return R.make_aligned_reward_fn(
             target_seq,
@@ -437,6 +454,7 @@ class GenRLAgent(DreamerAgent):
             weighted_align_compat=bool(args.get("weighted_align_compat", False)),
             score_clip=(None if args.get("score_clip") is None
                         else float(args["score_clip"])),
+            keep_stats_grad=args.get("score_from", "sample") == "mean",
         )
 
     def update_imag_behavior(self, state: AgentState, post, is_terminal, target_seq, key):

@@ -89,8 +89,9 @@ d = json.load(open('$EV/wm_r5/$TASK/diag_reward.json'))
 a = d['best_args']
 print(f'R_INIT={a[\"align_initial\"]} R_SEQ={a[\"align_sequence\"]}')
 print(f'R_FN={a[\"score_fn\"]} R_CLIP={d[\"score_clip\"]:.6f}')
+print(f'R_FROM={a.get(\"score_from\", \"sample\")}')
 ")"
-echo "measured config: init=$R_INIT seq=$R_SEQ fn=$R_FN clip=$R_CLIP" >> $ST
+echo "measured config: init=$R_INIT seq=$R_SEQ fn=$R_FN from=$R_FROM clip=$R_CLIP" >> $ST
 
 # F. behavior from the demonstration: posterior targets + measured config
 beh_evals() { wc -l < $EV/beh_post_r5/$TASK/eval.csv 2>/dev/null || echo 0; }
@@ -101,6 +102,7 @@ if [ "$(beh_evals)" -lt 10 ]; then
         agent.imag_reward_args.align_initial=$R_INIT \
         agent.imag_reward_args.align_sequence=$R_SEQ \
         agent.imag_reward_args.score_fn=$R_FN \
+        agent.imag_reward_args.score_from=$R_FROM \
         agent.imag_reward_args.score_clip=$R_CLIP \
         embed_whiten=True batch_size=32 batch_length=32 \
         num_train_frames=${BEH_STEPS:-30010} \
@@ -128,6 +130,7 @@ if [ "${RUN_CONNECTOR:-1}" = 1 ] && [ ! -f $EV/beh_conn_r5/$TASK/eval.csv ]; the
         agent.imag_reward_args.align_initial=$R_INIT \
         agent.imag_reward_args.align_sequence=$R_SEQ \
         agent.imag_reward_args.score_fn=$R_FN \
+        agent.imag_reward_args.score_from=$R_FROM \
         agent.imag_reward_args.score_clip=$R_CLIP \
         embed_whiten=True batch_size=32 batch_length=32 \
         num_train_frames=${BEHC_STEPS:-25010} \

@@ -44,13 +44,18 @@ if os.environ.get("DIAG_CPU"):
 
 
 CANDIDATES = [
-    # (name, align_initial, align_sequence, score_fn)
-    ("init_max_cosine", True, False, "max_cosine"),      # r4b control
-    ("init_delta_max", True, False, "delta_max_cosine"),
-    ("seq_max_cosine", False, True, "max_cosine"),
-    ("seq_delta_cosine", False, True, "delta_cosine"),
-    ("seq_delta_max", False, True, "delta_max_cosine"),
-    ("plain_delta_max", False, False, "delta_max_cosine"),
+    # (name, align_initial, align_sequence, score_fn, score_from)
+    # score_from="mean" scores expected stoch (softmax probs) instead of the
+    # per-step sample — sampled-feature deltas are mostly categorical noise
+    # (measured on the toy treadmill, tests/test_env_return_transfer.py)
+    ("init_max_cosine", True, False, "max_cosine", "sample"),  # r4b control
+    ("init_max_cos_mean", True, False, "max_cosine", "mean"),
+    ("init_delta_max_mean", True, False, "delta_max_cosine", "mean"),
+    ("seq_max_cosine", False, True, "max_cosine", "sample"),
+    ("seq_max_cos_mean", False, True, "max_cosine", "mean"),
+    ("seq_delta_max", False, True, "delta_max_cosine", "sample"),
+    ("seq_delta_max_mean", False, True, "delta_max_cosine", "mean"),
+    ("plain_delta_max_mean", False, False, "delta_max_cosine", "mean"),
 ]
 
 
@@ -120,10 +125,10 @@ def main():
           flush=True)
 
     results = {}
-    for name, a_init, a_seq, score_fn in CANDIDATES:
+    for name, a_init, a_seq, score_fn, score_from in CANDIDATES:
         agent.agent_cfg.imag_reward_args.update(dict(
             align_initial=a_init, align_sequence=a_seq, score_fn=score_fn,
-            score_clip=None))
+            score_from=score_from, score_clip=None))
         reward_fn = agent._imag_reward_fn(state, target)
         score = jax.jit(lambda seq: jnp.mean(reward_fn(seq)[..., 0], axis=0))
         vals = np.concatenate([np.asarray(score(s)) for s in seqs])  # [K*B]
@@ -146,7 +151,7 @@ def main():
         "configs": results,
         "best": best,
         "best_args": {"align_initial": cand[0], "align_sequence": cand[1],
-                      "score_fn": cand[2]},
+                      "score_fn": cand[2], "score_from": cand[3]},
         "score_clip": results[best]["reward_p95"],
     }
     out_path.parent.mkdir(parents=True, exist_ok=True)

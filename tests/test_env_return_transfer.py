@@ -214,12 +214,28 @@ if __name__ == "__main__":
     from toy_world import make_dataset as _mk
 
     if os.environ.get("SWEEP"):
-        for variant, args in (("FIXED", FIXED), ("seq_delta_cos",
-                              dict(FIXED, score_fn="delta_cosine"))):
+        GRID = (
+            ("seq_delta_max_MEAN", dict(FIXED, score_from="mean"), True),
+            ("init_max_cos_clip", dict(score_fn="max_cosine",
+                                       align_initial=True,
+                                       align_sequence=False), True),
+            ("init_max_cos_MEAN", dict(score_fn="max_cosine",
+                                       align_initial=True,
+                                       align_sequence=False,
+                                       score_from="mean"), True),
+            ("seq_max_cos_MEAN", dict(score_fn="max_cosine",
+                                      align_initial=False,
+                                      align_sequence=True,
+                                      score_from="mean"), True),
+            ("seq_delta_max_clip", FIXED, True),
+            ("init_max_cos_noclip", R4B_BAD, False),
+        )
+        for variant, args, mc in GRID:
             for seed in (0, 1, 2):
-                out = run_pipeline(args, seed=seed)
+                out = run_pipeline(args, seed=seed, measure_clip=mc)
+                clip = out["clip"] if out["clip"] is not None else float("nan")
                 print(f"{variant} seed={seed}: trained {out['trained']:+.3f} "
-                      f"random {out['random']:+.3f} clip {out['clip']:.3f} "
+                      f"random {out['random']:+.3f} clip {clip:.3f} "
                       f"imagR {out['imag_reward_early']:.4f}->"
                       f"{out['imag_reward_late']:.4f} "
                       f"meanA {out['mean_action']:+.2f}", flush=True)

@@ -328,3 +328,42 @@ def test_align_sequence_delta_search_prefers_motion_match():
     base = np.asarray(aligned_similarity_reward(
         agent, target, "cosine", **kw))[:, 0, 0]
     del base  # base path still runs (sanity that both searches compile)
+
+
+def test_score_from_mean_keeps_stats_grad():
+    """score_from="mean" (assembly._imag_reward_fn) scores EXPECTED stoch
+    (softmax probs) instead of per-step samples — the reward must then be
+    differentiable through the agent's logits (make_aligned_reward_fn
+    keep_stats_grad=True); the default sample path must keep them sg'd."""
+    import jax
+    import jax.numpy as jnp
+
+    from genrl_tpu.rewards.plugins import make_aligned_reward_fn
+
+    T, B, G, K = 8, 2, 3, 4
+    rng = np.random.default_rng(3)
+    logits = rng.normal(size=(T, B, G, K)).astype(np.float32)
+    tgt_logits = np.cumsum(rng.normal(size=(T, B, G, K)), 0).astype(np.float32)
+    identity = lambda x: x
+    probs_flat = lambda s: jax.nn.softmax(s["logit"]).reshape(
+        s["logit"].shape[:-2] + (-1,))
+
+    def make(keep):
+        return make_aligned_reward_fn(
+            {"logit": jnp.asarray(tgt_logits), "deter": jnp.asarray(tgt_logits[..., 0])},
+            score_fn="delta_max_cosine", n_frames=3, conv_in_fn=identity,
+            get_stoch_agent=probs_flat, get_stoch_target=probs_flat,
+            align_initial=False, align_sequence=True, keep_stats_grad=keep)
+
+    def loss(x, keep):
+        seq = {"logit": x, "deter": x[..., 0]}
+        return jnp.sum(make(keep)(seq))
+
+    g_keep = jax.grad(lambda x: loss(x, True))(jnp.asarray(logits))
+    g_sg = jax.grad(lambda x: loss(x, False))(jnp.asarray(logits))
+    assert np.all(np.isfinite(np.asarray(g_keep)))
+    # with keep_stats_grad the reward gradient reaches the logits...
+    assert float(jnp.abs(g_keep).max()) > 0
+    # ...and the default path stops it there (sample-path gradients flow
+    # through the straight-through stoch instead, absent here)
+    assert float(jnp.abs(g_sg).max()) == 0
