@@ -32,7 +32,11 @@ ST=runs/auto_r5.status
 
 ckpt() {  # ckpt <msg> <paths...> — force-commit stage artifacts (reset-proof)
     msg="$1"; shift
-    git add -f "$@" runs/*.log runs/*.status 2>/dev/null
+    # one add per path: `git add A B` aborts ENTIRELY when any pathspec
+    # doesn't exist, which silently skipped checkpoints
+    for p in "$@" runs/*.log runs/*.status; do
+        [ -e "$p" ] && git add -f "$p" 2>/dev/null
+    done
     git commit -q -m "r5 chain: $msg" >/dev/null 2>&1 || true
 }
 

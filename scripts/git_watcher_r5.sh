@@ -9,11 +9,17 @@
 cd /root/repo
 while [ ! -f /tmp/stop_watcher_r5 ]; do
     sleep 900
-    # -f bypasses the ignore rules; --quiet commit exits 1 when nothing new
-    git add -f evidence/pipeline/collect_r5 evidence/pipeline/dataset_r5 \
+    # -f bypasses the ignore rules. One add per path: `git add A B` aborts
+    # ENTIRELY when any single pathspec doesn't exist yet
+    for p in evidence/pipeline/collect_r5 evidence/pipeline/dataset_r5 \
         evidence/pipeline/wm_r5 evidence/pipeline/beh_post_r5 \
         evidence/pipeline/beh_conn_r5 evidence/pipeline/finetune_r5 \
-        evidence/p2e runs/*.log runs/*.status 2>/dev/null
+        evidence/p2e; do
+        [ -e "$p" ] && git add -f "$p" 2>/dev/null
+    done
+    for f in runs/*.log runs/*.status; do
+        [ -e "$f" ] && git add -f "$f" 2>/dev/null
+    done
     git commit -q -m "r5 chain watcher: periodic artifact checkpoint" \
         >/dev/null 2>&1 || true
 done
