@@ -141,6 +141,11 @@ _AGENT_GENRL = dict(
                               # (anti reward-hacking; see
                               # rewards/plugins.py:make_aligned_reward_fn)
                               score_clip=None,
+                              # 'sample' (reference: score sampled latents)
+                              # or 'mean': score EXPECTED stoch — sampled
+                              # deltas are mostly categorical noise (see
+                              # assembly._imag_reward_fn)
+                              score_from="sample",
                               align_initial=False, weighted_align=False,
                               # reference batch-axis cumprod for parity
                               # audits (genrl_utils.py:330-333) — see
