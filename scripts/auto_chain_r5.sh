@@ -95,6 +95,11 @@ print(f'R_INIT={a[\"align_initial\"]} R_SEQ={a[\"align_sequence\"]}')
 print(f'R_FN={a[\"score_fn\"]} R_CLIP={d[\"score_clip\"]:.6f}')
 print(f'R_FROM={a.get(\"score_from\", \"sample\")}')
 ")"
+if [ -z "$R_FN" ] || [ -z "$R_CLIP" ]; then
+    echo "ABORT: stage-E reward measurement missing or unparseable" >> $ST
+    ckpt "chain aborted: no measured reward config" runs/auto_r5.status
+    exit 1
+fi
 echo "measured config: init=$R_INIT seq=$R_SEQ fn=$R_FN from=$R_FROM clip=$R_CLIP" >> $ST
 
 # F. behavior from the demonstration: posterior targets + measured config
