@@ -152,9 +152,13 @@ def run_pipeline(reward_args, wm_steps=500, beh_steps=800, measure_clip=True,
                 agent=agent, state=state)
 
 
-# THE r5 fixed reward config (evidence/pipeline/README.md fix list)
+# THE r5 fixed reward config (evidence/pipeline/README.md fix list).
+# score_from is pinned: 59bd198 moved the default to the reference's
+# 'sample' (so CLI overrides reach the reward), but delta scores on SAMPLED
+# categorical stoch are mostly one-hot resample noise — the validated fix
+# scores the EXPECTED stoch (720b711; assembly._imag_reward_fn).
 FIXED = dict(score_fn="delta_max_cosine", align_initial=False,
-             align_sequence=True)
+             align_sequence=True, score_from="mean")
 # the r4b on-hardware combination that optimized alignment at the env floor
 R4B_BAD = dict(score_fn="max_cosine", align_initial=True,
                align_sequence=False)
