@@ -11,6 +11,16 @@ Usage (TPU must be free — single-client):
   PROF_ONLY=enc,dec,gru python -u scripts/profile_phases.py   # subset
 
 Prints one JSON line per phase: {phase, ms, flops, tflops_s, mfu}.
+
+KNOWN-UNRELIABLE over the axon tunnel (measured round 5,
+runs/profile_phases_r5.log): per-phase wall timings come out 30-1000x the
+plausible device time (e.g. optimizer_apply 6.3 s at 16x16) — the host
+readback used to sync each sample pays a tunnel RTT per iteration that
+swamps sub-ms device work, and phases cannot be disentangled from it at
+this granularity. Use the jax.profiler trace instead (the round-2
+breakdown in BASELINE.md came from evidence/wm50k/.../profile via
+scripts/profile_summary.py); this script's numbers are only meaningful on
+locally-attached devices.
 """
 
 from __future__ import annotations
